@@ -1,0 +1,81 @@
+"""Dataset/encoding -> model channel bookkeeping.
+
+Reference: DiffuseSG/utils/sg_utils.py:348-430 (get_node_adj_num_type,
+get_node_adj_model_input_output_channels).  Numbers are reproduced exactly so
+reference configs map onto identical model shapes.
+"""
+from __future__ import annotations
+
+import math
+
+DATASET_CONSTANTS = {
+    # name-fragment: (num_node_type, num_edge_type incl. null, num_allowed_nodes)
+    "visual_genome": (150, 51, 62),
+    "coco_stuff": (171, 7, 33),
+}
+
+
+def dataset_constants(dataset_name: str):
+    for key, val in DATASET_CONSTANTS.items():
+        if key in dataset_name:
+            return val
+    raise NotImplementedError(f"unknown scene-graph dataset {dataset_name}")
+
+
+def get_node_adj_num_type(dataset_name: str, flag_sg: bool, encoding: str,
+                          flag_node_only: bool = False, flag_node_bbox: bool = True) -> dict:
+    """Per-encoding channel counts (reference: sg_utils.py:348-409)."""
+    if not flag_sg:
+        raise NotImplementedError("only scene-graph datasets are supported")
+    raw_num_node_type, raw_num_adj_type, num_allowed_nodes = dataset_constants(dataset_name)
+
+    if encoding == "one_hot":
+        num_node_type, num_adj_type = raw_num_node_type, raw_num_adj_type
+    elif encoding == "bits":
+        num_node_type = int(math.ceil(math.log2(raw_num_node_type)))
+        num_adj_type = int(math.ceil(math.log2(raw_num_adj_type)))
+    elif encoding == "ddpm":
+        num_node_type, num_adj_type = 1, 1
+    else:
+        raise NotImplementedError(f"unknown encoding {encoding}")
+
+    if flag_node_only:
+        in_chans_node = 2
+        in_chans_adj = num_node_type
+        out_chans_node = 1
+        out_chans_adj = num_node_type
+        num_adj_type = num_node_type
+        num_node_type = 1
+        if flag_node_bbox:
+            in_chans_adj += 4
+            out_chans_adj += 4
+    else:
+        in_chans_node = num_node_type * 2
+        in_chans_adj = num_adj_type
+        out_chans_node = num_node_type
+        out_chans_adj = num_adj_type
+        if flag_node_bbox:
+            num_node_type += 4
+            in_chans_node += 4 * 2
+            out_chans_node += 4
+
+    return {
+        "raw_num_node_type": raw_num_node_type,
+        "raw_num_adj_type": raw_num_adj_type,
+        "num_allowed_nodes": num_allowed_nodes,
+        "num_node_type": num_node_type,
+        "num_adj_type": num_adj_type,
+        "in_chans_node": in_chans_node,
+        "in_chans_adj": in_chans_adj,
+        "out_chans_node": out_chans_node,
+        "out_chans_adj": out_chans_adj,
+    }
+
+
+def get_node_adj_model_input_output_channels(config):
+    """Model-facing channel counts (reference: sg_utils.py:412-430)."""
+    info = get_node_adj_num_type(
+        config.dataset.name, config.flag_sg, config.train.node_encoding,
+        flag_node_only=config.train.get("node_only", False))
+    in_chans = info["in_chans_node"] + info["in_chans_adj"]
+    return in_chans, info["out_chans_adj"], info["out_chans_node"]

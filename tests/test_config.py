@@ -1,0 +1,67 @@
+"""Tests for the locked-config system (reference override semantics)."""
+import pytest
+
+from diffusesg_tpu.config import ConfigDict, load_config
+
+
+def test_attribute_and_item_access():
+    cfg = ConfigDict({"a": 1, "b": {"c": 2.5, "d": [1, 2]}})
+    assert cfg.a == 1 and cfg["a"] == 1
+    assert cfg.b.c == 2.5
+    assert cfg.b.d == [1, 2]
+
+
+def test_lock_rejects_new_keys():
+    cfg = ConfigDict({"a": 1}).lock()
+    with pytest.raises(KeyError):
+        cfg.newkey = 3
+    cfg.a = 2  # existing keys stay writable
+    assert cfg.a == 2
+    with cfg.unlocked():
+        cfg.newkey = 3
+    assert cfg.newkey == 3
+    with pytest.raises(KeyError):
+        cfg.another = 1
+
+
+def test_keyword_override_unique_leaf():
+    cfg = ConfigDict({"train": {"batch_size": 8, "lr_init": 2e-4},
+                      "test": {"eval_size": 0}}).lock()
+    cfg.override_keyword("batch_size", "32")
+    assert cfg.train.batch_size == 32
+    cfg.override_keyword("lr_init", "1e-3")
+    assert cfg.train.lr_init == pytest.approx(1e-3)
+
+
+def test_keyword_override_ambiguous_raises():
+    cfg = ConfigDict({"train": {"batch_size": 8}, "test": {"batch_size": 4}}).lock()
+    with pytest.raises(KeyError):
+        cfg.override_keyword("batch_size", "32")
+    cfg.override_keyword("test.batch_size", "16")
+    assert cfg.test.batch_size == 16 and cfg.train.batch_size == 8
+
+
+def test_bool_and_null_coercion():
+    cfg = ConfigDict({"train": {"self_cond": True, "resume": None}}).lock()
+    cfg.override_keyword("self_cond", "false")
+    assert cfg.train.self_cond is False
+    cfg.override_keyword("resume", "null")
+    assert cfg.train.resume is None
+
+
+def test_load_reference_style_yaml(tmp_path):
+    yml = tmp_path / "c.yaml"
+    yml.write_text("dataset:\n  name: visual_genome\n  max_node_num: 64\n"
+                   "train:\n  batch_size: 8\n")
+    cfg = load_config(str(yml), overrides={"batch_size": "4"})
+    assert cfg.train.batch_size == 4
+    assert cfg.flag_sg is True  # derived (reference: arg_parser.py:275-283)
+
+
+def test_shipped_configs_parse():
+    for name in ("edm_diffuse_sg_regular_visual_genome", "edm_diffuse_sg_regular_coco",
+                 "vg_small_test"):
+        cfg = load_config(f"configs/{name}.yaml")
+        assert cfg.mcmc.name == "edm"
+        assert cfg.model.name == "diffuse_sg"
+        assert cfg.flag_sg
