@@ -53,7 +53,9 @@ class EDMParams(NamedTuple):
 
 def vp_sigma_from_t(t, beta_d=19.9, beta_min=0.1):
     t = jnp.asarray(t)
-    return jnp.sqrt(jnp.exp(0.5 * beta_d * t ** 2 + beta_min * t) - 1.0)
+    # expm1 instead of the reference's exp(x)-1 (edm.py:66-68): avoids fp32
+    # catastrophic cancellation at small t.
+    return jnp.sqrt(jnp.expm1(0.5 * beta_d * t ** 2 + beta_min * t))
 
 
 def vp_sigma_deriv_t(t, beta_d=19.9, beta_min=0.1):
@@ -64,7 +66,7 @@ def vp_sigma_deriv_t(t, beta_d=19.9, beta_min=0.1):
 
 def vp_t_from_sigma(sigma, beta_d=19.9, beta_min=0.1):
     sigma = jnp.asarray(sigma)
-    return (jnp.sqrt(beta_min ** 2 + 2 * beta_d * jnp.log(1 + sigma ** 2)) - beta_min) / beta_d
+    return (jnp.sqrt(beta_min ** 2 + 2 * beta_d * jnp.log1p(sigma ** 2)) - beta_min) / beta_d
 
 
 def ve_sigma_from_t(t):

@@ -36,7 +36,7 @@ def test_vp_roundtrip():
     # finite-difference check
     eps = 1e-4
     fd = (np.asarray(vp_sigma_from_t(t + eps)) - np.asarray(vp_sigma_from_t(t - eps))) / (2 * eps)
-    np.testing.assert_allclose(d, fd, rtol=1e-3)
+    np.testing.assert_allclose(d, fd, rtol=5e-3)
 
 
 def test_training_sigma_distribution_stats(rng):
