@@ -1,0 +1,346 @@
+"""Swin-Transformer building blocks for the DiffuseSG denoiser (flax.linen).
+
+TPU-native redesign of the reference blocks
+(reference: DiffuseSG/model/diffusesg/diffusesg.py:9-584):
+  * channels-LAST everywhere ([B, H, W, C]) so C maps to TPU lanes;
+  * patch embed / read-out as space-to-depth + Dense (== strided conv but
+    guaranteed to hit the MXU as one big matmul);
+  * window partition/reverse as reshape/transpose (free under XLA);
+  * shifted-window attention masks precomputed as static numpy constants;
+  * noise conditioning as per-block affine: silu(shift + x * (scale + 1));
+  * attention can route through the fused Pallas window-attention kernel
+    (ops/window_attention.py) or a pure-XLA einsum path.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def trunc_normal_init(std: float = 0.02):
+    """Truncated-normal initializer matching the reference init
+    (diffusesg.py:722-729, timm trunc_normal_ std=0.02)."""
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+DENSE_KW = dict(kernel_init=trunc_normal_init(), bias_init=nn.initializers.zeros)
+
+
+class Mlp(nn.Module):
+    """Two-layer GELU MLP (reference: diffusesg.py:9-25)."""
+    hidden_features: int
+    out_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, **DENSE_KW)(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_features, dtype=self.dtype, **DENSE_KW)(x)
+        return x
+
+
+def window_partition(x: jax.Array, window: int) -> jax.Array:
+    """[B, H, W, C] -> [B * nH * nW, window, window, C] (diffusesg.py:28-40)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // window, window, w // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, window, window, c)
+
+
+def window_reverse(windows: jax.Array, window: int, h: int, w: int) -> jax.Array:
+    """Inverse of window_partition (diffusesg.py:43-57)."""
+    c = windows.shape[-1]
+    b = windows.shape[0] // ((h // window) * (w // window))
+    x = windows.reshape(b, h // window, w // window, window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def relative_position_index(window: int) -> np.ndarray:
+    """Static [window^2, window^2] lookup into the (2w-1)^2 bias table
+    (reference: diffusesg.py:87-98)."""
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window), indexing="ij"))
+    flat = coords.reshape(2, -1)  # [2, w*w]
+    rel = flat[:, :, None] - flat[:, None, :]  # [2, w*w, w*w]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += window - 1
+    rel[:, :, 1] += window - 1
+    rel[:, :, 0] *= 2 * window - 1
+    return rel.sum(-1)
+
+
+def shifted_window_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
+    """Static [nW, w*w, w*w] additive mask (0 / -100) for SW-MSA
+    (reference: diffusesg.py:207-230)."""
+    img_mask = np.zeros((1, h, w, 1), dtype=np.float32)
+    slices = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
+    cnt = 0
+    for hs in slices:
+        for ws in slices:
+            img_mask[:, hs, ws, :] = cnt
+            cnt += 1
+    mw = img_mask.reshape(1, h // window, window, w // window, window, 1)
+    mw = mw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window * window)
+    attn_mask = mw[:, None, :] - mw[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    """Window multi-head self-attention with relative position bias
+    (reference: diffusesg.py:60-139).
+
+    Input: [nWB, L=window^2, C]; optional additive mask [nW, L, L].
+    """
+    dim: int
+    window: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask: np.ndarray | None = None):
+        nwb, L, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+
+        bias_table = self.param(
+            "relative_position_bias_table", trunc_normal_init(),
+            ((2 * self.window - 1) ** 2, self.num_heads))
+        rel_idx = relative_position_index(self.window).reshape(-1)
+        rel_bias = bias_table[rel_idx].reshape(L, L, self.num_heads)
+        rel_bias = rel_bias.transpose(2, 0, 1)  # [nH, L, L]
+
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, **DENSE_KW)(x)
+        qkv = qkv.reshape(nwb, L, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [nWB, L, nH, hd]
+
+        bias = rel_bias[None].astype(self.dtype)  # [1, nH, L, L]
+        if mask is not None:
+            nw = mask.shape[0]
+            # per-window additive mask, broadcast over batch: [nWB, nH, L, L]
+            m = jnp.asarray(mask, self.dtype)[:, None, :, :]  # [nW, 1, L, L]
+            m = jnp.tile(m, (nwb // nw, 1, 1, 1))
+            bias = bias + m
+
+        if self.use_pallas:
+            from ..ops.window_attention import fused_window_attention
+            out = fused_window_attention(q * scale, k, v, bias)
+        else:
+            attn = jnp.einsum("blhd,bmhd->bhlm", q * scale, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn + bias.astype(jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhlm,bmhd->blhd", attn, v)
+        out = out.reshape(nwb, L, c)
+        return nn.Dense(self.dim, dtype=self.dtype, **DENSE_KW)(out)
+
+
+class NoiseAffine(nn.Module):
+    """Per-block noise conditioning: silu(shift + x * (scale + 1))
+    (reference: diffusesg.py:195,237-240)."""
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        params = nn.Dense(self.dim * 2, dtype=self.dtype, **DENSE_KW)(emb)  # [B, 2C]
+        scale, shift = jnp.split(params[:, None, :], 2, axis=-1)  # [B, 1, C] x2
+        return nn.silu(shift + x * (scale + 1.0))
+
+
+class SwinBlock(nn.Module):
+    """One Swin transformer block with noise conditioning
+    (reference: diffusesg.py:158-277)."""
+    dim: int
+    input_resolution: tuple[int, int]
+    num_heads: int
+    window_size: int
+    shift_size: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, emb):
+        h, w = self.input_resolution
+        b, L, c = x.shape
+        window, shift = self.window_size, self.shift_size
+        if min(h, w) <= window:
+            # window covers the whole grid: no partitioning benefit, no shift
+            # (reference: diffusesg.py:189-192)
+            window, shift = min(h, w), 0
+
+        x = NoiseAffine(self.dim, self.dtype)(x, emb)
+
+        shortcut = x
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = x.reshape(b, h, w, c)
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            mask = shifted_window_attn_mask(h, w, window, shift)
+        else:
+            mask = None
+        xw = window_partition(x, window).reshape(-1, window * window, c)
+        xw = WindowAttention(self.dim, window, self.num_heads,
+                             dtype=self.dtype, use_pallas=self.use_pallas)(xw, mask)
+        x = window_reverse(xw.reshape(-1, window, window, c), window, h, w)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = shortcut + x.reshape(b, L, c)
+
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype)(y)
+        return x + y
+
+
+class PatchMerging(nn.Module):
+    """2x downsample: gather 2x2 neighborhoods, LayerNorm, Dense 4C->2C
+    (reference: diffusesg.py:298-344)."""
+    input_resolution: tuple[int, int]
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = self.input_resolution
+        b, L, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        # channel order [x0(0,0), x1(1,0), x2(0,1), x3(1,1)]: (w-offset, h-offset)
+        x = x.transpose(0, 1, 3, 4, 2, 5)  # [b, h/2, w/2, wo, ho, c]
+        x = x.reshape(b, (h // 2) * (w // 2), 4 * c)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                        kernel_init=trunc_normal_init())(x)
+
+
+class PatchBreakup(nn.Module):
+    """2x upsample, inverse of PatchMerging with skip handling
+    (reference: diffusesg.py:347-412)."""
+    input_resolution: tuple[int, int]
+    dim: int  # channel count of the (possibly skip-concatenated) input
+    skip_connection: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = self.input_resolution
+        b, L, c = x.shape
+        if self.skip_connection:
+            x = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                         kernel_init=trunc_normal_init())(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
+            true_dim = self.dim // 2
+        else:
+            x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                         kernel_init=trunc_normal_init())(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
+            true_dim = self.dim
+        c_out = true_dim // 2
+        x = x.reshape(b, h, w, 4, c_out)
+        # inverse scatter of PatchMerging's gather: chunk k -> offset (k%2, k//2)
+        x = x.reshape(b, h, w, 2, 2, c_out)      # [b, h, w, wo, ho, c]
+        x = x.transpose(0, 1, 4, 2, 3, 5)        # [b, h, ho, w, wo, c]
+        x = x.reshape(b, 2 * h * 2 * w, c_out)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.Dense(c_out, use_bias=False, dtype=self.dtype,
+                        kernel_init=trunc_normal_init())(x)
+
+
+class BasicLayer(nn.Module):
+    """A stage: optional upsample -> depth x SwinBlock -> optional downsample
+    (reference: diffusesg.py:415-494)."""
+    dim: int
+    input_resolution: tuple[int, int]
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 4.0
+    downsample: bool = False
+    upsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, emb):
+        res = self.input_resolution
+        if self.upsample:
+            # always with skip connection when upsampling (diffusesg.py:448-451)
+            x = PatchBreakup(res, self.dim * 4, skip_connection=True,
+                             dtype=self.dtype)(x)
+            res = (res[0] * 2, res[1] * 2)
+        block_cls = nn.remat(SwinBlock) if self.remat else SwinBlock
+        for i in range(self.depth):
+            x = block_cls(self.dim, res, self.num_heads, self.window_size,
+                          shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                          mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                          use_pallas=self.use_pallas)(x, emb)
+        if self.downsample:
+            x = PatchMerging(res, self.dim, dtype=self.dtype)(x)
+        return x
+
+
+class PositionalEmbedding(nn.Module):
+    """Sin/cos timestep embedding, EDM/DDPM++ style (reference: diffusesg.py:500-513)."""
+    num_channels: int
+    max_positions: int = 10000
+    endpoint: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        half = self.num_channels // 2
+        freqs = jnp.arange(half, dtype=jnp.float32)
+        freqs = freqs / (half - (1 if self.endpoint else 0))
+        freqs = (1.0 / self.max_positions) ** freqs
+        args = x[:, None].astype(jnp.float32) * freqs[None, :]
+        return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class PatchEmbed(nn.Module):
+    """Patchify + project + norm + noise affine (reference: diffusesg.py:516-584).
+
+    The reference's strided Conv2d is realized as space-to-depth + Dense —
+    mathematically identical for kernel == stride == patch, and a single
+    MXU matmul on TPU.
+    """
+    img_size: int
+    patch_size: int
+    embed_dim: int
+    patch_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        b, h, w, c = x.shape
+        p = self.patch_size
+        ph, pw = h // p, w // p
+        x = x.reshape(b, ph, p, pw, p, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, ph * pw, p * p * c)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, **DENSE_KW)(x)
+        if self.patch_norm:
+            x = nn.LayerNorm(dtype=self.dtype)(x)
+        return NoiseAffine(self.embed_dim, self.dtype)(x, emb)
+
+
+class ReadOut(nn.Module):
+    """Un-patchify + two pointwise layers (reference: diffusesg.py:705-709
+    ConvTranspose2d(p) + two 1x1 convs, as depth-to-space + Dense)."""
+    patch_size: int
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ph, pw):
+        b, L, c = x.shape
+        p = self.patch_size
+        x = nn.Dense(p * p * self.embed_dim, dtype=self.dtype, **DENSE_KW)(x)
+        x = x.reshape(b, ph, pw, p, p, self.embed_dim).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, ph * p, pw * p, self.embed_dim)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, **DENSE_KW)(x)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, **DENSE_KW)(x)
+        return x
