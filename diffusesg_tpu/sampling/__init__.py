@@ -1,0 +1,3 @@
+from .edm_sampler import NodeAdjEDMSampler
+from .decode import decode_samples, decode_node, decode_adj, split_bbox_nodes, DecodedSamples
+from .factory import get_mc_sampler
