@@ -1,0 +1,93 @@
+"""Batch iteration over packed arrays, with per-host sharding.
+
+Replaces torch DataLoader + DistributedSampler
+(reference: DiffuseSG/utils/dataloader.py:24-33): data already lives in
+dense numpy arrays, so batching is pure indexing; under multi-host SPMD each
+host iterates its own shard (process_index-strided), the TPU-native analogue
+of DistributedSampler.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from .dataset import SceneGraphData
+
+
+@dataclasses.dataclass
+class Batches:
+    """Epoch iterator yielding (adjs, nodes, node_flags, image_ids) numpy slabs.
+
+    ``repeat_to_batch`` mirrors the reference's repeat-to-fill trick for small
+    datasets (reference: trainer_node_adj.py:56-65): when the dataset is
+    smaller than one batch and divides it, graphs are tiled to fill the batch.
+    """
+    data: SceneGraphData
+    batch_size: int
+    shuffle: bool = True
+    seed: int = 0
+    drop_remainder: bool = False
+    repeat_to_batch: bool = True
+    process_index: int = 0
+    process_count: int = 1
+
+    def __post_init__(self):
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _host_indices(self) -> np.ndarray:
+        n = len(self.data)
+        idx = np.arange(n)
+        if self.shuffle:
+            rs = np.random.RandomState(self.seed + self._epoch)
+            rs.shuffle(idx)
+        # per-host strided shard, same role as DistributedSampler
+        return idx[self.process_index::self.process_count]
+
+    def __iter__(self) -> Iterator[tuple]:
+        idx = self._host_indices()
+        n = len(idx)
+        bs = self.batch_size
+        if n < bs and self.repeat_to_batch and n > 0 and bs % n == 0:
+            idx = np.tile(idx, bs // n)
+            n = len(idx)
+        for start in range(0, n, bs):
+            sel = idx[start:start + bs]
+            if self.drop_remainder and len(sel) < bs:
+                break
+            if len(sel) < bs and self.repeat_to_batch and bs % len(sel) == 0:
+                sel = np.tile(sel, bs // len(sel))
+            yield (self.data.adjs[sel], self.data.nodes[sel],
+                   self.data.node_flags[sel], self.data.image_ids[sel])
+
+    def __len__(self):
+        n = len(self._host_indices())
+        if n < self.batch_size and self.repeat_to_batch and n > 0 and self.batch_size % n == 0:
+            return 1
+        if self.drop_remainder:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+
+def split_eval_set(data: SceneGraphData, total_samples: int, seed: int = 0) -> SceneGraphData:
+    """Subset / repeat the test set to hit ``total_samples``
+    (reference: runner/sampler/sampler_utils.py:8-41)."""
+    n = len(data)
+    if total_samples < n:
+        rs = np.random.RandomState(seed)
+        sel = rs.permutation(n)[:total_samples]
+    elif total_samples == n:
+        sel = np.arange(n)
+    else:
+        reps = -(-total_samples // n)
+        sel = np.tile(np.arange(n), reps)[:total_samples]
+    return SceneGraphData(
+        adjs=data.adjs[sel], nodes=data.nodes[sel], node_flags=data.node_flags[sel],
+        image_ids=data.image_ids[sel],
+        pkl_data=[data.pkl_data[i % len(data.pkl_data)] for i in sel] if data.pkl_data else [],
+        num_node_type=data.num_node_type, num_edge_type=data.num_edge_type)

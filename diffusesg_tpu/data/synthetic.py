@@ -1,0 +1,92 @@
+"""Deterministic synthetic scene-graph data matching the reference pickle schema.
+
+The reference dataset archive is absent from the public snapshot
+(/root/reference/.MISSING_LARGE_BLOBS); the schema is fully recoverable from
+the loader (reference: DiffuseSG/utils/dataloader.py:99-116): each record is
+{'node_labels': [n] ints, 'edge_map': [n, n] ints with zero diagonal,
+'node_bboxes_xcyc': [n, 4] floats in [0, 1], 'image_id': int}, plus the
+statistics pickles (dataloader.py:278-316).  This generator produces
+structured (not uniform) graphs — clustered node types, preferential edges,
+size-correlated bboxes — so metrics are non-degenerate.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.channels import dataset_constants
+
+
+def synthetic_scene_graphs(num_graphs: int, max_nodes: int, num_node_type: int,
+                           num_edge_type: int, seed: int = 0,
+                           min_nodes: int = 2) -> list[dict]:
+    rs = np.random.RandomState(seed)
+    # skewed type popularity, like real VG/COCO long-tail distributions
+    node_pop = rs.dirichlet(np.full(num_node_type, 0.3))
+    edge_pop = rs.dirichlet(np.full(max(num_edge_type - 1, 1), 0.5))
+    data = []
+    for g in range(num_graphs):
+        n = int(rs.randint(min_nodes, max_nodes + 1))
+        labels = rs.choice(num_node_type, size=n, p=node_pop)
+        edge_map = np.zeros((n, n), dtype=np.int64)
+        # sparse preferential edges; symmetric-free directed predicates
+        p_edge = min(0.9, 2.5 / max(n - 1, 1))
+        for i in range(n):
+            for j in range(n):
+                if i != j and rs.rand() < p_edge:
+                    edge_map[i, j] = 1 + rs.choice(max(num_edge_type - 1, 1), p=edge_pop)
+        # bboxes: centers anywhere, sizes correlated with type popularity
+        cx = rs.uniform(0.2, 0.8, size=n)
+        cy = rs.uniform(0.2, 0.8, size=n)
+        scale = 0.1 + 0.5 * node_pop[labels] / node_pop.max()
+        w = np.clip(rs.uniform(0.05, 0.4, size=n) * (0.5 + scale), 0.02, 0.95)
+        h = np.clip(rs.uniform(0.05, 0.4, size=n) * (0.5 + scale), 0.02, 0.95)
+        w = np.minimum(w, 2 * np.minimum(cx, 1 - cx))
+        h = np.minimum(h, 2 * np.minimum(cy, 1 - cy))
+        bboxes = np.stack([cx, cy, w, h], axis=-1)
+        data.append({"node_labels": labels, "edge_map": edge_map,
+                     "node_bboxes_xcyc": bboxes.astype(np.float32), "image_id": g})
+    return data
+
+
+def compute_stats_dicts(data: list[dict]) -> dict:
+    """Statistics pickle equivalent (reference: dataloader.py:278-316 keys)."""
+    triplet_count: dict = {}
+    node_count: dict = {}
+    area_sum: dict = {}
+    for item in data:
+        labels = item["node_labels"]
+        edge_map = item["edge_map"]
+        bboxes = item["node_bboxes_xcyc"]
+        for i, lab in enumerate(labels):
+            lab = int(lab)
+            node_count[lab] = node_count.get(lab, 0) + 1
+            area = float(bboxes[i, 2] * bboxes[i, 3])
+            s, c = area_sum.get(lab, (0.0, 0))
+            area_sum[lab] = (s + area, c + 1)
+        nz = np.argwhere(edge_map > 0)
+        for i, j in nz:
+            trip = (int(labels[i]), int(edge_map[i, j]), int(labels[j]))
+            triplet_count[trip] = triplet_count.get(trip, 0) + 1
+    triplet_sorted = dict(sorted(triplet_count.items(), key=lambda kv: -kv[1]))
+    node_sorted = dict(sorted(node_count.items(), key=lambda kv: -kv[1]))
+    area_avg = {k: s / c for k, (s, c) in area_sum.items()}
+    area_sorted = dict(sorted(area_avg.items(), key=lambda kv: -kv[1]))
+    return {"triplet_dict_sorted": triplet_sorted,
+            "node_dict_sorted": node_sorted,
+            "node_bbox_area_avg_dict_sorted": area_sorted}
+
+
+def synthetic_bundle_dicts(dataset_name: str, max_node_num: int, seed: int = 0,
+                           num_train: int = 256, num_test: int = 128):
+    """(train_data, test_data, train_stats, test_stats, idx_to_word)."""
+    num_node_type, num_edge_type, num_allowed = dataset_constants(dataset_name)
+    max_n = min(max_node_num, num_allowed)
+    train = synthetic_scene_graphs(num_train, max_n, num_node_type, num_edge_type,
+                                   seed=seed)
+    test = synthetic_scene_graphs(num_test, max_n, num_node_type, num_edge_type,
+                                  seed=seed + 1)
+    idx_to_word = {
+        "ind_to_classes": [f"obj_{i}" for i in range(num_node_type)],
+        "ind_to_predicates": [f"rel_{i}" for i in range(num_edge_type)],
+    }
+    return train, test, compute_stats_dicts(train), compute_stats_dicts(test), idx_to_word

@@ -1,0 +1,70 @@
+"""Training state: optax optimizer + K stacked EMA parameter copies.
+
+Replaces the reference's Adam/ZeroRedundancyOptimizer + ExponentialLR +
+ema_pytorch.EMA list (reference: DiffuseSG/utils/learning_utils.py:126-166).
+The K EMAs are held as ONE pytree whose leaves carry a leading [K] axis and
+are updated with a single vmapped lerp — no per-EMA module copies.
+
+Under pjit, sharding the state pytree with NamedSharding gives ZeRO-1-style
+optimizer-state sharding for free (SURVEY.md §2 parallelism checklist).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array                 # scalar int32
+    params: Any                     # model params pytree
+    opt_state: Any                  # optax state
+    ema_params: Any                 # params pytree with leading [K] axis
+    ema_betas: jax.Array            # [K] float32 (sorted ascending, like reference)
+
+
+def make_optimizer(lr_init: float, lr_decay: float, steps_per_epoch: int,
+                   weight_decay: float = 0.0, max_grad_norm: float = 10.0):
+    """clip-by-global-norm(10) -> Adam with per-epoch exponential LR decay.
+
+    Mirrors the reference: clip_grad_norm_(max_norm=10) before the step
+    (trainer_node_adj.py:174), Adam(betas=(0.9, 0.999), eps=1e-8)
+    (learning_utils.py:137-140), ExponentialLR stepped per epoch with
+    gamma=lr_dacey (learning_utils.py:141).
+    """
+    def lr_schedule(count):
+        epoch = count // max(1, steps_per_epoch)
+        return lr_init * (lr_decay ** epoch)
+
+    opt = optax.adam(learning_rate=lr_schedule, b1=0.9, b2=0.999, eps=1e-8)
+    if weight_decay > 0.0:
+        opt = optax.adamw(learning_rate=lr_schedule, b1=0.9, b2=0.999, eps=1e-8,
+                          weight_decay=weight_decay)
+    return optax.chain(optax.clip_by_global_norm(max_grad_norm), opt)
+
+
+def create_train_state(params, ema_betas: Sequence[float], optimizer) -> TrainState:
+    betas = jnp.asarray(sorted(ema_betas), jnp.float32)
+    k = betas.shape[0]
+    ema_params = jax.tree.map(lambda p: jnp.broadcast_to(p[None], (k,) + p.shape).copy(), params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=optimizer.init(params), ema_params=ema_params,
+                      ema_betas=betas)
+
+
+def update_emas(ema_params, params, betas):
+    """One vmapped lerp across all K EMA copies (learning_utils.py:145-166)."""
+    def _lerp(ema_leaf, p_leaf):
+        b = betas.reshape((betas.shape[0],) + (1,) * p_leaf.ndim)
+        return ema_leaf * b + p_leaf[None] * (1.0 - b)
+    return jax.tree.map(_lerp, ema_params, params)
+
+
+def ema_slice(ema_params, idx: int):
+    """Extract EMA copy #idx as a regular params pytree."""
+    return jax.tree.map(lambda e: e[idx], ema_params)

@@ -1,0 +1,124 @@
+"""Tests for the data pipeline: synthetic schema, tensorization, batching."""
+import numpy as np
+import pytest
+
+from diffusesg_tpu.config import load_config
+from diffusesg_tpu.data import (
+    Batches, build_tensors, load_data, split_eval_set,
+    synthetic_scene_graphs, compute_stats_dicts,
+)
+
+
+def test_synthetic_schema():
+    data = synthetic_scene_graphs(10, 8, 20, 5, seed=0)
+    assert len(data) == 10
+    for item in data:
+        n = len(item["node_labels"])
+        assert 2 <= n <= 8
+        assert item["edge_map"].shape == (n, n)
+        assert (np.diag(item["edge_map"]) == 0).all()
+        assert item["edge_map"].max() <= 4
+        bb = item["node_bboxes_xcyc"]
+        assert bb.shape == (n, 4)
+        assert (0 <= bb).all() and (bb <= 1).all()
+
+
+def test_stats_dicts():
+    data = synthetic_scene_graphs(20, 8, 20, 5, seed=0)
+    stats = compute_stats_dicts(data)
+    trip = stats["triplet_dict_sorted"]
+    assert len(trip) > 0
+    counts = list(trip.values())
+    assert counts == sorted(counts, reverse=True)
+    total_edges = sum(int((item["edge_map"] > 0).sum()) for item in data)
+    assert sum(counts) == total_edges
+
+
+def test_build_tensors_ddpm_bbox():
+    data = synthetic_scene_graphs(12, 8, 20, 5, seed=1)
+    ds = build_tensors(data, max_node_num=8, num_node_attr_type=20,
+                       num_edge_attr_type=5, node_encoding="ddpm",
+                       edge_encoding="ddpm")
+    assert ds.adjs.shape == (12, 8, 8)
+    assert ds.nodes.shape == (12, 8, 5)  # ddpm scalar + 4 bbox
+    assert ds.node_flags.shape == (12, 8)
+    # adj entries are ddpm-coded in [-1, 1]
+    assert ds.adjs.min() >= -1 and ds.adjs.max() <= 1
+    # padded entries are zero
+    f = ds.node_flags
+    pair = f[:, :, None] & f[:, None, :]
+    assert (ds.adjs[~pair] == 0).all()
+    assert (ds.nodes[~f] == 0).all()
+    # bbox channels are in [-1, 1]
+    assert ds.nodes[..., 1:].min() >= -1 and ds.nodes[..., 1:].max() <= 1
+
+
+def test_build_tensors_bits_encoding():
+    data = synthetic_scene_graphs(6, 8, 20, 5, seed=2)
+    ds = build_tensors(data, max_node_num=8, num_node_attr_type=20,
+                       num_edge_attr_type=5, node_encoding="bits",
+                       edge_encoding="bits")
+    assert ds.nodes.shape == (6, 8, 5 + 4)   # ceil(log2 20)=5 bits + bbox
+    assert ds.adjs.shape == (6, 8, 8, 3)     # ceil(log2 5)=3 bits, channels-last
+
+
+def test_build_tensors_binary_edge():
+    data = synthetic_scene_graphs(6, 8, 20, 5, seed=3)
+    ds = build_tensors(data, max_node_num=8, num_node_attr_type=20,
+                       num_edge_attr_type=5, node_encoding="ddpm",
+                       edge_encoding="ddpm", flag_binary_edge=True)
+    assert set(np.unique(ds.adjs)) <= {-1.0, 0.0, 1.0}
+
+
+def test_build_tensors_node_only():
+    data = synthetic_scene_graphs(6, 4, 20, 5, seed=4)  # <= 16 nodes fit 4x4 grid
+    ds = build_tensors(data, max_node_num=4, num_node_attr_type=20,
+                       num_edge_attr_type=5, node_encoding="ddpm",
+                       edge_encoding="ddpm", flag_node_only=True)
+    assert ds.node_flags.shape == (6, 4, 4)  # grid flags
+    assert ds.adjs.shape == (6, 4, 4, 5)     # 1 ddpm + 4 bbox channels
+
+
+def test_load_data_synthetic_fallback(tmp_path):
+    cfg = load_config("configs/vg_small_test.yaml")
+    bundle = load_data(cfg, data_root=str(tmp_path))
+    assert len(bundle.train) == 32  # subset
+    assert bundle.test is bundle.train  # subset aliases test to train
+    assert len(bundle.train_triplet_dict) > 0
+    assert len(bundle.idx_to_word["ind_to_classes"]) == 150
+
+
+def test_batches_iteration_and_sharding():
+    data = synthetic_scene_graphs(13, 6, 10, 4, seed=5)
+    ds = build_tensors(data, 6, 10, 4, "ddpm", "ddpm")
+    batches = Batches(ds, batch_size=4, shuffle=True, seed=0)
+    seen = 0
+    for adjs, nodes, flags, ids in batches:
+        assert adjs.shape[0] <= 4
+        seen += adjs.shape[0]
+    assert seen == 13
+    # two-host sharding covers the dataset disjointly
+    b0 = Batches(ds, 4, shuffle=False, process_index=0, process_count=2)
+    b1 = Batches(ds, 4, shuffle=False, process_index=1, process_count=2)
+    ids0 = np.concatenate([t[3] for t in b0])
+    ids1 = np.concatenate([t[3] for t in b1])
+    assert len(set(ids0) & set(ids1)) == 0
+    assert len(ids0) + len(ids1) == 13
+
+
+def test_batches_repeat_to_fill():
+    data = synthetic_scene_graphs(2, 6, 10, 4, seed=6)
+    ds = build_tensors(data, 6, 10, 4, "ddpm", "ddpm")
+    batches = Batches(ds, batch_size=8, shuffle=False)
+    out = list(batches)
+    assert len(out) == 1
+    assert out[0][0].shape[0] == 8  # tiled 4x
+
+
+def test_split_eval_set():
+    data = synthetic_scene_graphs(10, 6, 10, 4, seed=7)
+    ds = build_tensors(data, 6, 10, 4, "ddpm", "ddpm")
+    small = split_eval_set(ds, 4)
+    assert len(small) == 4
+    big = split_eval_set(ds, 25)
+    assert len(big) == 25

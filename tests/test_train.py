@@ -1,0 +1,119 @@
+"""Tests for losses, EMA state, and the jitted train step (incl. a tiny
+overfit convergence check, the reference's --subset recipe as a test)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusesg_tpu.train import (
+    NodeAdjRainbowLoss, bbox_iou_aux_loss, TrainStepConfig,
+    make_optimizer, create_train_state, make_train_step, update_emas, ema_slice,
+)
+
+
+def _flags(b=4, n=8, seed=0):
+    rs = np.random.RandomState(seed)
+    flags = np.zeros((b, n), dtype=bool)
+    for i in range(b):
+        flags[i, : rs.randint(2, n + 1)] = True
+    return jnp.asarray(flags)
+
+
+def test_rainbow_loss_matches_bruteforce():
+    """Per-sample normalization vs a brute-force loop (SURVEY hard part #4)."""
+    rs = np.random.RandomState(0)
+    b, n, c = 4, 8, 3
+    flags = np.asarray(_flags(b, n))
+    pred_a = rs.randn(b, n, n, c).astype(np.float32)
+    tgt_a = rs.randn(b, n, n, c).astype(np.float32)
+    pred_x = rs.randn(b, n, 5).astype(np.float32)
+    tgt_x = rs.randn(b, n, 5).astype(np.float32)
+    w = rs.rand(b).astype(np.float32)
+
+    loss = NodeAdjRainbowLoss(edge_loss_weight=2.0, node_loss_weight=3.0)
+    la, lx = loss(jnp.asarray(pred_a), jnp.asarray(pred_x), jnp.asarray(tgt_a),
+                  jnp.asarray(tgt_x), jnp.asarray(flags), jnp.asarray(w))
+
+    for i in range(b):
+        k = flags[i].sum()
+        m = np.outer(flags[i], flags[i])
+        sq = ((pred_a[i] - tgt_a[i]) ** 2 * w[i]) * m[..., None]
+        expect_a = sq.sum() / (k ** 2) / c * 2.0
+        np.testing.assert_allclose(np.asarray(la)[i], expect_a, rtol=1e-5)
+        sqx = ((pred_x[i] - tgt_x[i]) ** 2 * w[i]) * flags[i][:, None]
+        expect_x = sqx.sum() / k / 5 * 3.0
+        np.testing.assert_allclose(np.asarray(lx)[i], expect_x, rtol=1e-5)
+
+
+def test_rainbow_loss_3d_adj():
+    rs = np.random.RandomState(1)
+    b, n = 2, 6
+    flags = jnp.ones((b, n), dtype=bool)
+    pred_a = jnp.asarray(rs.randn(b, n, n).astype(np.float32))
+    la, lx = NodeAdjRainbowLoss()(pred_a, jnp.zeros((b, n)), jnp.zeros_like(pred_a),
+                                  jnp.zeros((b, n)), flags)
+    expect = (np.asarray(pred_a) ** 2).sum((1, 2)) / n ** 2
+    np.testing.assert_allclose(np.asarray(la), expect, rtol=1e-5)
+
+
+@pytest.mark.parametrize("iou_type", ["iou", "giou", "diou", "ciou", "giou_squared"])
+def test_iou_aux_loss_runs(iou_type):
+    rs = np.random.RandomState(2)
+    b, n = 3, 6
+    flags = _flags(b, n, seed=2)
+    pred = jnp.asarray(rs.uniform(-1, 1, (b, n, 9)).astype(np.float32))
+    tgt = jnp.asarray(rs.uniform(-1, 1, (b, n, 9)).astype(np.float32))
+    w = jnp.ones((b,))
+    out = bbox_iou_aux_loss(pred, tgt, flags, w, iou_type)
+    assert out.shape == (b,)
+    assert np.isfinite(np.asarray(out)).all()
+    # perfect prediction: iou loss is -1 * (fraction of this sample's nodes)
+    out_same = bbox_iou_aux_loss(tgt, tgt, flags, w, "iou")
+    f = np.asarray(flags, np.float32)
+    np.testing.assert_allclose(np.asarray(out_same), -f.sum(-1) / f.sum(), rtol=1e-4)
+
+
+def test_ema_update_lerp():
+    params = {"w": jnp.ones((3, 3)), "b": jnp.zeros((3,))}
+    state = create_train_state(params, [0.5, 0.9], make_optimizer(1e-3, 1.0, 1))
+    new_params = {"w": jnp.full((3, 3), 2.0), "b": jnp.ones((3,))}
+    ema = update_emas(state.ema_params, new_params, state.ema_betas)
+    # beta=0.5: 0.5*1 + 0.5*2 = 1.5 ; beta=0.9: 0.9*1 + 0.1*2 = 1.1
+    np.testing.assert_allclose(np.asarray(ema["w"][0]), 1.5)
+    np.testing.assert_allclose(np.asarray(ema["w"][1]), 1.1)
+    e0 = ema_slice(ema, 0)
+    assert e0["w"].shape == (3, 3)
+
+
+def test_train_step_overfits_tiny_model(rng):
+    """Subset-overfit smoke test (reference --subset recipe, SURVEY §4)."""
+    from diffusesg_tpu.models import DiffuseSG
+
+    b, n = 4, 8
+    model = DiffuseSG(img_size=n, patch_size=1, in_chans=11, embed_dim=48,
+                      depths=(1,), num_heads=(3,), window_size=8,
+                      out_chans_adj=1, out_chans_node=5,
+                      self_condition=True, symmetric_noise=False)
+    rs = np.random.RandomState(0)
+    flags = jnp.asarray(np.ones((b, n), dtype=bool))
+    adjs_gt = jnp.asarray(rs.choice([-1, 0, 1], (b, n, n)).astype(np.float32))
+    nodes_gt = jnp.asarray(rs.uniform(-1, 1, (b, n, 5)).astype(np.float32))
+
+    params = model.init(jax.random.PRNGKey(0), adjs_gt, nodes_gt, flags,
+                        jnp.zeros((b,)), None, None)
+    optimizer = make_optimizer(1e-2, 1.0, steps_per_epoch=1)
+    state = create_train_state(params, [0.9, 0.999], optimizer)
+    cfg = TrainStepConfig(self_condition=True, iou_loss_weight=1.0)
+    step = jax.jit(make_train_step(model.apply, optimizer, cfg))
+
+    # fixed rng -> deterministic noising: the step must fit this one
+    # regression problem, so the (positive) adj loss decreases
+    fixed = jax.random.PRNGKey(7)
+    losses_adj, losses = [], []
+    for i in range(60):
+        state, metrics = step(state, fixed, adjs_gt, nodes_gt, flags)
+        losses.append(float(metrics["loss"]))
+        losses_adj.append(float(metrics["loss_adj"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses_adj[-5:]) < 0.75 * np.mean(losses_adj[:5]), losses_adj
+    assert int(state.step) == 60
