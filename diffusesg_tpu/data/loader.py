@@ -60,8 +60,6 @@ class Batches:
             sel = idx[start:start + bs]
             if self.drop_remainder and len(sel) < bs:
                 break
-            if len(sel) < bs and self.repeat_to_batch and bs % len(sel) == 0:
-                sel = np.tile(sel, bs // len(sel))
             yield (self.data.adjs[sel], self.data.nodes[sel],
                    self.data.node_flags[sel], self.data.image_ids[sel])
 
