@@ -1,0 +1,101 @@
+"""Device mesh, sharding rules, and collectives for SPMD training.
+
+The TPU-native replacement for the reference's NCCL/DDP layer
+(reference: DiffuseSG/utils/dist_training.py:10-195):
+  * DDP gradient all-reduce        -> jit over a 1-D 'data' mesh; XLA inserts
+                                      the psum over ICI
+  * DistributedSampler             -> per-host strided batch shard (data/loader.py)
+  * ZeroRedundancyOptimizer        -> optimizer/EMA state sharded with
+                                      NamedSharding (ZeRO-1 for free)
+  * gather_tensors (all_gather)    -> process_allgather / device_get
+  * barrier                        -> multihost sync_global_devices
+
+No custom communication code: the whole layer is sharding annotations.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int = 0, axis_name: str = "data",
+              devices=None) -> Mesh:
+    """A 1-D data-parallel mesh (the reference's only parallelism mode)."""
+    devs = list(devices if devices is not None else jax.devices())
+    if num_devices and num_devices > 0:
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
+
+
+def zero1_sharding(pytree: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """ZeRO-1-style sharding spec: shard each leaf along its first axis
+    divisible by the mesh size; replicate leaves with no such axis.
+
+    Applied to optimizer moments and EMA copies this reproduces what the
+    reference gets from ZeroRedundancyOptimizer (learning_utils.py:130-135),
+    except it also covers the K EMA copies.
+    """
+    size = mesh.shape[axis_name]
+
+    def _spec(leaf):
+        if not hasattr(leaf, "shape") or leaf.ndim == 0:
+            return NamedSharding(mesh, P())
+        for axis, dim in enumerate(leaf.shape):
+            if dim % size == 0 and dim >= size:
+                spec = [None] * leaf.ndim
+                spec[axis] = axis_name
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(_spec, pytree)
+
+
+def replicate_tree(pytree: Any, mesh: Mesh) -> Any:
+    """Place a pytree fully replicated on the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), pytree)
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Place host numpy batch arrays sharded over the data axis."""
+    def _put(x):
+        return jax.device_put(x, batch_sharding(mesh, x.ndim, axis_name))
+    return jax.tree.map(_put, batch)
+
+
+def gather_to_host(x: jax.Array) -> np.ndarray:
+    """Collect a (possibly sharded) array onto the host.
+
+    Single-process: device_get handles any sharding.  Multi-process
+    (per-host addressable shards): process_allgather, the analogue of the
+    reference's gather_tensors (dist_training.py:170-195).
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
+
+
+def sync_hosts(name: str = "sync"):
+    """Barrier across hosts (reference: dist_training.py:87-91 ddp_sync)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
+def is_main_process() -> bool:
+    """Rank-0 save gate (reference: dist_training.py:151-159)."""
+    return jax.process_index() == 0

@@ -1,0 +1,70 @@
+"""Sharded (pjit) training step: data-parallel batch, ZeRO-1 state.
+
+One jit call with NamedShardings replaces the reference's whole distributed
+stack (DDP wrapper + NCCL all-reduce + ZeroRedundancyOptimizer,
+reference: DiffuseSG/utils/dist_training.py:62-85,
+utils/learning_utils.py:130-135): XLA partitions the step, inserts gradient
+psums over ICI, and keeps optimizer/EMA state sharded across the mesh.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.train_state import TrainState
+from .mesh import batch_sharding, replicated, zero1_sharding
+
+
+def train_state_shardings(state: TrainState, mesh: Mesh,
+                          axis_name: str = "data", zero1: bool = True) -> TrainState:
+    """Sharding pytree matching a TrainState: params replicated; optimizer
+    moments + EMA copies ZeRO-1-sharded (or fully replicated)."""
+    repl = replicated(mesh)
+    params_sh = jax.tree.map(lambda _: repl, state.params)
+    if zero1:
+        opt_sh = zero1_sharding(state.opt_state, mesh, axis_name)
+        ema_sh = zero1_sharding(state.ema_params, mesh, axis_name)
+    else:
+        opt_sh = jax.tree.map(lambda _: repl, state.opt_state)
+        ema_sh = jax.tree.map(lambda _: repl, state.ema_params)
+    return TrainState(step=repl, params=params_sh, opt_state=opt_sh,
+                      ema_params=ema_sh, ema_betas=repl)
+
+
+def shard_train_state(state: TrainState, mesh: Mesh, axis_name: str = "data",
+                      zero1: bool = True) -> TrainState:
+    """Place an existing TrainState according to train_state_shardings."""
+    sh = train_state_shardings(state, mesh, axis_name, zero1)
+    return jax.tree.map(jax.device_put, state, sh)
+
+
+def make_sharded_train_step(train_step: Callable, state: TrainState, mesh: Mesh,
+                            axis_name: str = "data", zero1: bool = True,
+                            donate: bool = True, adj_ndim: int = 3,
+                            node_ndim: int = 3, flags_ndim: int = 2) -> Callable:
+    """jit the step with explicit in/out shardings over the mesh.
+
+    Signature of ``train_step``: (state, rng, adjs, nodes, flags) ->
+    (state, metrics).  Batch arrays are sharded on their leading axis; the
+    state follows train_state_shardings; metrics come back replicated.
+    ``adj_ndim``/``node_ndim`` depend on encoding (4/3 for multi-channel).
+    """
+    state_sh = train_state_shardings(state, mesh, axis_name, zero1)
+    repl = replicated(mesh)
+
+    def _batch_sh(ndim):
+        return batch_sharding(mesh, ndim, axis_name)
+
+    in_shardings = (state_sh, repl, _batch_sh(adj_ndim), _batch_sh(node_ndim),
+                    _batch_sh(flags_ndim))
+    # metrics: scalars replicated, per-sample vectors sharded over batch
+    metrics_sh = {"loss": repl, "loss_adj": repl, "loss_node": repl,
+                  "loss_adj_per_sample": _batch_sh(1),
+                  "loss_node_per_sample": _batch_sh(1),
+                  "sigmas": _batch_sh(1)}
+    out_shardings = (state_sh, metrics_sh)
+    return jax.jit(train_step, in_shardings=in_shardings,
+                   out_shardings=out_shardings,
+                   donate_argnums=(0,) if donate else ())
