@@ -48,11 +48,22 @@ def synthetic_scene_graphs(num_graphs: int, max_nodes: int, num_node_type: int,
     return data
 
 
-def compute_stats_dicts(data: list[dict]) -> dict:
-    """Statistics pickle equivalent (reference: dataloader.py:278-316 keys)."""
+def compute_stats_dicts(data: list[dict], num_node_type: int | None = None) -> dict:
+    """Statistics pickle equivalent (reference: dataloader.py:278-316 keys).
+
+    Triplet keys use the evaluator's layout (type_from, type_to, predicate)
+    (reference: bbox_metrics.py:228-231) with values normalized to
+    frequencies; node count/area dicts cover EVERY class id in
+    [0, num_node_type) (the F1 weight arrays index by class id,
+    sampler_node_adj.py:508-512).
+    """
     triplet_count: dict = {}
     node_count: dict = {}
     area_sum: dict = {}
+    if num_node_type is not None:
+        for k in range(num_node_type):
+            node_count[k] = 1e-6          # smoothing for absent classes
+            area_sum[k] = (1e-6, 1)
     for item in data:
         labels = item["node_labels"]
         edge_map = item["edge_map"]
@@ -65,9 +76,11 @@ def compute_stats_dicts(data: list[dict]) -> dict:
             area_sum[lab] = (s + area, c + 1)
         nz = np.argwhere(edge_map > 0)
         for i, j in nz:
-            trip = (int(labels[i]), int(edge_map[i, j]), int(labels[j]))
+            trip = (int(labels[i]), int(labels[j]), int(edge_map[i, j]))
             triplet_count[trip] = triplet_count.get(trip, 0) + 1
+    total_triplets = max(sum(triplet_count.values()), 1)
     triplet_sorted = dict(sorted(triplet_count.items(), key=lambda kv: -kv[1]))
+    triplet_sorted = {k: v / total_triplets for k, v in triplet_sorted.items()}
     node_sorted = dict(sorted(node_count.items(), key=lambda kv: -kv[1]))
     area_avg = {k: s / c for k, (s, c) in area_sum.items()}
     area_sorted = dict(sorted(area_avg.items(), key=lambda kv: -kv[1]))
@@ -89,4 +102,5 @@ def synthetic_bundle_dicts(dataset_name: str, max_node_num: int, seed: int = 0,
         "ind_to_classes": [f"obj_{i}" for i in range(num_node_type)],
         "ind_to_predicates": [f"rel_{i}" for i in range(num_edge_type)],
     }
-    return train, test, compute_stats_dicts(train), compute_stats_dicts(test), idx_to_word
+    return (train, test, compute_stats_dicts(train, num_node_type),
+            compute_stats_dicts(test, num_node_type), idx_to_word)

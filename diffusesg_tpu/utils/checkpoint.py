@@ -1,0 +1,113 @@
+"""Orbax checkpointing of the full training state.
+
+Replaces the reference's torch.save checkpoints
+(reference: DiffuseSG/runner/trainer/trainer_utils.py:132-185): the reference
+stores model + per-beta EMA weights but NOT optimizer/scheduler state (its
+--resume restores weights only, learning_utils.py:95-98).  Here the complete
+{params, ema_params (stacked K), opt_state, step, ema_betas} is saved, fixing
+that resume gap, plus the config for eval-side reconstruction
+(reference: utils/arg_parser.py:146-153 re-reads config.yaml next to the ckpt).
+
+Layout on disk:
+  <run_dir>/models_ckpt/<step>/...   rolling per-interval checkpoints
+  <run_dir>/models/best/...          best-by-test-loss checkpoint
+  <run_dir>/config.yaml              resolved config
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..train.train_state import TrainState
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def save_checkpoint(path: str, state: TrainState, extra: dict | None = None) -> None:
+    """Save a TrainState (+ optional metadata dict) to ``path``."""
+    path = os.path.abspath(path)
+    payload = {
+        "step": _to_host(state.step),
+        "params": _to_host(state.params),
+        "opt_state": _to_host(state.opt_state),
+        "ema_params": _to_host(state.ema_params),
+        "ema_betas": _to_host(state.ema_betas),
+    }
+    if extra:
+        payload["extra"] = extra
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, template_state: TrainState | None = None) -> dict:
+    """Restore a checkpoint; with a template the result is dtype/shape-checked."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if template_state is not None:
+        template = {
+            "step": _to_host(template_state.step),
+            "params": _to_host(template_state.params),
+            "opt_state": _to_host(template_state.opt_state),
+            "ema_params": _to_host(template_state.ema_params),
+            "ema_betas": _to_host(template_state.ema_betas),
+        }
+        try:
+            return ckptr.restore(path, template)
+        except BaseException:
+            # fall back to schema-free restore (e.g. ckpt carries 'extra')
+            return ckptr.restore(path)
+    return ckptr.restore(path)
+
+
+def state_from_payload(payload: dict) -> TrainState:
+    import jax.numpy as jnp
+    return TrainState(step=jnp.asarray(payload["step"]),
+                      params=payload["params"],
+                      opt_state=payload["opt_state"],
+                      ema_params=payload["ema_params"],
+                      ema_betas=jnp.asarray(payload["ema_betas"]))
+
+
+def list_checkpoints(ckpt_dir: str) -> list[str]:
+    """Sorted step-named checkpoint directories under ``ckpt_dir``
+    (eval-side search, reference: arg_parser.py:144-184)."""
+    if not os.path.isdir(ckpt_dir):
+        return []
+    out = []
+    for name in os.listdir(ckpt_dir):
+        full = os.path.join(ckpt_dir, name)
+        if os.path.isdir(full):
+            out.append(full)
+    def _key(p):
+        base = os.path.basename(p)
+        return (0, int(base)) if base.isdigit() else (1, base)
+    return sorted(out, key=_key)
+
+
+def select_checkpoints(ckpt_dir: str, min_epoch: int | None = None,
+                       max_epoch: int | None = None,
+                       specify_epoch: int | None = None,
+                       num_ckpts: int | None = None) -> list[str]:
+    """Epoch-range / explicit-epoch / count-limited checkpoint selection
+    (reference: arg_parser.py:144-184)."""
+    ckpts = list_checkpoints(ckpt_dir)
+    def _epoch(p):
+        base = os.path.basename(p)
+        return int(base) if base.isdigit() else -1
+    if specify_epoch is not None:
+        return [p for p in ckpts if _epoch(p) == specify_epoch]
+    if min_epoch is not None:
+        ckpts = [p for p in ckpts if _epoch(p) >= min_epoch]
+    if max_epoch is not None:
+        ckpts = [p for p in ckpts if _epoch(p) <= max_epoch]
+    if num_ckpts is not None and len(ckpts) > num_ckpts:
+        sel = np.linspace(0, len(ckpts) - 1, num_ckpts).astype(int)
+        ckpts = [ckpts[i] for i in sel]
+    return ckpts

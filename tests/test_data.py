@@ -25,13 +25,15 @@ def test_synthetic_schema():
 
 def test_stats_dicts():
     data = synthetic_scene_graphs(20, 8, 20, 5, seed=0)
-    stats = compute_stats_dicts(data)
+    stats = compute_stats_dicts(data, num_node_type=20)
     trip = stats["triplet_dict_sorted"]
     assert len(trip) > 0
-    counts = list(trip.values())
-    assert counts == sorted(counts, reverse=True)
-    total_edges = sum(int((item["edge_map"] > 0).sum()) for item in data)
-    assert sum(counts) == total_edges
+    freqs = list(trip.values())
+    assert freqs == sorted(freqs, reverse=True)
+    assert abs(sum(freqs) - 1.0) < 1e-9  # normalized frequencies
+    # weight dicts cover every class id (needed by F1 weight arrays)
+    assert sorted(stats["node_dict_sorted"].keys()) == list(range(20))
+    assert sorted(stats["node_bbox_area_avg_dict_sorted"].keys()) == list(range(20))
 
 
 def test_build_tensors_ddpm_bbox():
