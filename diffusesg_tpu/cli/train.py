@@ -1,0 +1,63 @@
+"""Training entry point: python -m diffusesg_tpu.cli.train -c cfg.yaml [...]
+
+Counterpart of the reference train entry (reference: DiffuseSG/train.py:77-120):
+init basics -> load data -> build model/optimizer/EMAs/loss/sampler -> train.
+On multi-host TPU pods, launch one process per host (jax.distributed
+initializes from the TPU environment; no torchrun analogue needed).
+"""
+from __future__ import annotations
+
+import logging
+
+import jax
+
+
+def main(argv=None):
+    from .common import build_train_parser, config_from_args
+    from ..data import load_data
+    from ..models import build_model, count_params
+    from ..models.factory import init_params
+    from ..sampling import get_mc_sampler
+    from ..train import (
+        create_train_state, go_training, make_eval_step, make_optimizer,
+        make_train_step, train_step_config_from,
+    )
+    from ..utils import set_seed_and_logger, backup_code, ScalarWriter
+    from ..utils.checkpoint import restore_checkpoint
+    from ..parallel.mesh import is_main_process
+
+    args = build_train_parser().parse_args(argv)
+    config = config_from_args(args, "train")
+    set_seed_and_logger(config, mode="train", comment=args.comment)
+    backup_code(config.logdir)
+
+    bundle = load_data(config, eval_mode=False, data_root=args.data_root)
+    model = build_model(config)
+    params = init_params(model, config, jax.random.PRNGKey(config.seed))
+    logging.info("model parameters: %s", f"{count_params(params):,}")
+
+    steps_per_epoch = max(1, len(bundle.train) // max(1, config.train.batch_size))
+    optimizer = make_optimizer(config.train.lr_init, config.train.lr_dacey,
+                               steps_per_epoch, config.train.weight_decay)
+    state = create_train_state(params, list(config.train.ema_coef), optimizer)
+
+    if config.train.get("resume"):
+        logging.info("resuming from %s", config.train.resume)
+        payload = restore_checkpoint(config.train.resume, state)
+        from ..utils.checkpoint import state_from_payload
+        state = state_from_payload(payload)
+
+    step_cfg = train_step_config_from(config)
+    train_step = make_train_step(model.apply, optimizer, step_cfg)
+    eval_step = make_eval_step(model.apply, step_cfg)
+    mc_sampler = get_mc_sampler(config)
+    writer = ScalarWriter(config.logdir, enabled=is_main_process())
+
+    go_training(model, state, train_step, eval_step, config, bundle,
+                mc_sampler=mc_sampler, writer=writer)
+    writer.close()
+    logging.info("training complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,30 @@ class TrainStepConfig:
     iou_loss_type: str = "iou"
     iou_loss_weight: float = 1.0
     flag_node_only: bool = False
+    # deferred one-hot encoding (reference: trainer_node_adj.py:72-93 —
+    # one_hot datasets store ints and encode per mini-batch to save memory)
+    node_encoding: str = "ddpm"
+    edge_encoding: str = "ddpm"
+    num_node_type: int = 0  # one-hot class counts (bbox excluded)
+    num_edge_type: int = 0
+
+
+def encode_one_hot_batch(adjs_gt, nodes_gt, node_flags, cfg: TrainStepConfig):
+    """Per-batch deferred one-hot encoding (trainer_node_adj.py:72-93):
+    one_hot datasets carry int labels ([B,N,N] adjs; nodes as [B,N,1+4] with
+    the int type in channel 0 and bbox in the rest)."""
+    from ..ops.attribute_code import attribute_int_to_one_hot
+
+    if cfg.node_encoding == "one_hot" and not cfg.flag_node_only:
+        node_type = nodes_gt[..., 0]
+        bbox = nodes_gt[..., 1:]
+        oh = attribute_int_to_one_hot(node_type, node_flags, cfg.num_node_type,
+                                      flag_ddpm_range=True, flag_nodes=True)
+        nodes_gt = jnp.concatenate([oh, bbox], axis=-1)
+    if cfg.edge_encoding == "one_hot":
+        adjs_gt = attribute_int_to_one_hot(adjs_gt, node_flags, cfg.num_edge_type,
+                                           flag_ddpm_range=True, flag_adjs=True)
+    return adjs_gt, nodes_gt
 
 
 def make_loss_fn(model_apply: Callable, cfg: TrainStepConfig):
@@ -42,6 +66,7 @@ def make_loss_fn(model_apply: Callable, cfg: TrainStepConfig):
     rainbow = NodeAdjRainbowLoss(cfg.edge_loss_weight, cfg.node_loss_weight)
 
     def loss_fn(params, rng, adjs_gt, nodes_gt, node_flags):
+        adjs_gt, nodes_gt = encode_one_hot_batch(adjs_gt, nodes_gt, node_flags, cfg)
         rng_obj, rng_sc = jax.random.split(rng)
         ob = objective.get_input_output(rng_obj, adjs_gt, nodes_gt, node_flags)
 
@@ -66,6 +91,28 @@ def make_loss_fn(model_apply: Callable, cfg: TrainStepConfig):
         return loss, aux
 
     return loss_fn
+
+
+def train_step_config_from(config) -> TrainStepConfig:
+    """Config -> TrainStepConfig (mirrors reference trainer wiring)."""
+    from ..models.channels import get_node_adj_num_type
+    info = get_node_adj_num_type(config.dataset.name, config.flag_sg, "one_hot",
+                                 config.train.get("node_only", False),
+                                 flag_node_bbox=False)
+    return TrainStepConfig(
+        precond=config.mcmc.precond,
+        sigma_dist=config.mcmc.sigma_dist,
+        self_condition=config.train.self_cond,
+        symmetric_noise=not config.flag_sg,
+        edge_loss_weight=config.train.edge_loss_weight,
+        node_loss_weight=config.train.node_loss_weight,
+        iou_loss_type=config.train.iou_loss_type,
+        iou_loss_weight=config.train.iou_loss_weight,
+        flag_node_only=config.train.get("node_only", False),
+        node_encoding=config.train.node_encoding,
+        edge_encoding=config.train.edge_encoding,
+        num_node_type=info["num_node_type"],
+        num_edge_type=info["num_adj_type"])
 
 
 def make_train_step(model_apply: Callable, optimizer, cfg: TrainStepConfig):

@@ -1,0 +1,139 @@
+"""Training orchestrator: the epoch loop.
+
+Counterpart of the reference trainer (reference:
+DiffuseSG/runner/trainer/trainer_node_adj.py:185-289 node_adj_go_training +
+trainer_utils.py): epoch loop over host-sharded batches, per-interval test
+pass on the smallest-beta EMA, best/rolling checkpoints, loss logging, and
+in-training sampling with the largest-beta EMA.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..data.loader import Batches
+from ..train.train_state import TrainState, ema_slice
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logging_utils import LossTxtLogger, ScalarWriter
+
+
+def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
+                mc_sampler=None, writer: ScalarWriter | None = None):
+    """Run the full training loop; returns the final TrainState."""
+    # imported here to avoid a train <-> parallel circular import
+    from ..parallel.mesh import is_main_process, make_mesh, shard_batch, sync_hosts
+    from ..parallel.sharded_step import make_sharded_train_step, shard_train_state
+    from ..sampling.orchestrator import sg_go_sampling
+    mesh = make_mesh(config.tpu.get("num_devices", 0) if "tpu" in config else 0)
+    logging.info("training on %d device(s), %d host(s)", mesh.size, jax.process_count())
+
+    # pad/trim the global batch to something divisible by the mesh
+    batch_size = max(mesh.size, (config.train.batch_size // mesh.size) * mesh.size)
+    train_batches = Batches(bundle.train, batch_size, shuffle=True, seed=config.seed,
+                            process_index=jax.process_index(),
+                            process_count=jax.process_count())
+    test_batches = Batches(bundle.test, batch_size, shuffle=False,
+                           process_index=jax.process_index(),
+                           process_count=jax.process_count())
+
+    state = shard_train_state(state, mesh)
+    sharded_step = make_sharded_train_step(
+        train_step, state, mesh,
+        adj_ndim=bundle.train.adjs.ndim, node_ndim=bundle.train.nodes.ndim,
+        flags_ndim=bundle.train.node_flags.ndim)
+    jit_eval = jax.jit(eval_step)
+
+    loss_txt = LossTxtLogger(config.logdir, enabled=is_main_process())
+    lowest = {"epoch": -1, "loss": float("inf")}
+    save_interval = config.train.save_interval
+    sample_interval = config.train.sample_interval
+    rng = jax.random.PRNGKey(config.seed + 1000 + jax.process_index())
+
+    def _pad_batch(arrs):
+        """Repeat-pad a trailing partial batch to the full size so the
+        compiled step shape stays static (XLA-friendly; matches the
+        reference's repeat-to-fill trick in spirit)."""
+        n = arrs[0].shape[0]
+        if n == batch_size:
+            return arrs, n
+        reps = -(-batch_size // n)
+        return tuple(np.concatenate([a] * reps, 0)[:batch_size] for a in arrs), n
+
+    for epoch in range(config.train.max_epoch):
+        train_batches.set_epoch(epoch)
+        t0 = time.time()
+        ep_loss_a, ep_loss_x, n_steps = 0.0, 0.0, 0
+
+        for adjs, nodes, flags, _ids in train_batches:
+            (adjs, nodes, flags), _ = _pad_batch((adjs, nodes, flags))
+            batch = shard_batch((adjs, nodes, flags), mesh)
+            rng, sub = jax.random.split(rng)
+            state, metrics = sharded_step(state, sub, *batch)
+            ep_loss_a += float(metrics["loss_adj"])
+            ep_loss_x += float(metrics["loss_node"])
+            n_steps += 1
+            if is_main_process():
+                loss_txt.write("train", epoch, metrics["sigmas"],
+                               metrics["loss_adj_per_sample"],
+                               metrics["loss_node_per_sample"])
+
+        dt = time.time() - t0
+        ep_loss_a /= max(n_steps, 1)
+        ep_loss_x /= max(n_steps, 1)
+        logging.info("epoch %05d | train loss adj %.6f node %.6f | %.1fs",
+                     epoch, ep_loss_a, ep_loss_x, dt)
+        if writer is not None:
+            writer.add_scalar("train_epoch/regression_loss_adj", ep_loss_a, epoch)
+            writer.add_scalar("train_epoch/regression_loss_node", ep_loss_x, epoch)
+            writer.add_scalar("train_epoch/time_s", dt, epoch)
+
+        # test pass + checkpointing (reference: trainer_node_adj.py:238-254)
+        if epoch % save_interval == save_interval - 1 or epoch == 0:
+            test_params = ema_slice(state.ema_params, 0)  # smallest beta
+            te_loss_a, te_loss_x, m = 0.0, 0.0, 0
+            for adjs, nodes, flags, _ids in test_batches:
+                (adjs, nodes, flags), _ = _pad_batch((adjs, nodes, flags))
+                rng, sub = jax.random.split(rng)
+                tm = jit_eval(test_params, sub, adjs, nodes, flags)
+                te_loss_a += float(tm["loss_adj"])
+                te_loss_x += float(tm["loss_node"])
+                m += 1
+                if is_main_process():
+                    loss_txt.write("test", epoch, tm["sigmas"],
+                                   tm["loss_adj_per_sample"],
+                                   tm["loss_node_per_sample"])
+            te_loss = (te_loss_a + te_loss_x) / max(m, 1)
+            logging.info("epoch %05d | test loss %.6f", epoch, te_loss)
+            if writer is not None:
+                writer.add_scalar("test_epoch/regression_loss_adj", te_loss_a / max(m, 1), epoch)
+                writer.add_scalar("test_epoch/regression_loss_node", te_loss_x / max(m, 1), epoch)
+
+            if is_main_process():
+                ckpt_path = os.path.join(config.model_ckpt_dir, f"{epoch:05d}")
+                save_checkpoint(ckpt_path, state,
+                                extra={"epoch": epoch, "test_loss": te_loss})
+                if te_loss < lowest["loss"] and epoch >= min(
+                        save_interval, config.train.max_epoch - 1):
+                    lowest.update(epoch=epoch, loss=te_loss)
+                    save_checkpoint(os.path.join(config.model_save_dir, "best"),
+                                    state, extra={"epoch": epoch, "test_loss": te_loss})
+        sync_hosts(f"epoch_{epoch}")
+
+        # in-training sampling with the largest-beta EMA
+        # (reference: trainer_node_adj.py:262-284)
+        if mc_sampler is not None and epoch % sample_interval == 0:
+            sample_params = ema_slice(state.ema_params, -1)
+            beta = float(np.asarray(jax.device_get(state.ema_betas))[-1])
+            sampling_params = {
+                "model_nm": f"training_e{epoch:05d}",
+                "weight_kw": f"{beta:.3f}",
+                "model_path": os.path.join(config.model_ckpt_dir, f"{epoch:05d}")}
+            sg_go_sampling(model, sample_params, mc_sampler, config, bundle,
+                           epoch=epoch, eval_mode=False, sanity_check=epoch == 0,
+                           sampling_params=sampling_params, writer=writer)
+    loss_txt.close()
+    return state

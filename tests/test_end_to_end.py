@@ -1,0 +1,132 @@
+"""End-to-end pipeline integration tests on the CPU harness: tiny config ->
+synthetic data -> train epochs -> sanity-check sampling -> metrics -> eval CLI.
+This is the reference's sanity-check-with-GT-denoiser + subset-overfit recipe
+turned into pytest (SURVEY §4)."""
+import glob
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from diffusesg_tpu.config import load_config
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    cfg = load_config("configs/vg_small_test.yaml")
+    with cfg.unlocked():
+        cfg.exp_dir = str(tmp)
+        cfg.dataset.max_node_num = 8
+        cfg.dataset.subset = 8
+        cfg.train.batch_size = 8
+        cfg.train.max_epoch = 2
+        cfg.train.save_interval = 2
+        cfg.train.sample_interval = 1000  # no in-loop sampling here
+        cfg.test.batch_size = 8
+        cfg.test.eval_size = 8
+        cfg.mcmc.num_steps = 8
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trained(tiny_cfg):
+    from diffusesg_tpu.data import load_data
+    from diffusesg_tpu.models import build_model
+    from diffusesg_tpu.models.factory import init_params
+    from diffusesg_tpu.train import (
+        create_train_state, go_training, make_eval_step, make_optimizer,
+        make_train_step, train_step_config_from,
+    )
+    from diffusesg_tpu.utils import set_seed_and_logger
+
+    cfg = tiny_cfg
+    set_seed_and_logger(cfg, mode="train")
+    bundle = load_data(cfg, data_root="/nonexistent")  # forces synthetic
+    model = build_model(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    optimizer = make_optimizer(cfg.train.lr_init, cfg.train.lr_dacey, 1)
+    state = create_train_state(params, list(cfg.train.ema_coef), optimizer)
+    step_cfg = train_step_config_from(cfg)
+    train_step = make_train_step(model.apply, optimizer, step_cfg)
+    eval_step = make_eval_step(model.apply, step_cfg)
+    state = go_training(model, state, train_step, eval_step, cfg, bundle,
+                        mc_sampler=None, writer=None)
+    return cfg, bundle, model, state
+
+
+def test_training_produces_checkpoints(trained):
+    cfg, bundle, model, state = trained
+    assert int(jax.device_get(state.step)) == 2  # 2 epochs x 1 step
+    ckpts = glob.glob(os.path.join(cfg.model_ckpt_dir, "*"))
+    assert len(ckpts) >= 1
+    assert os.path.isfile(os.path.join(cfg.logdir, "train_loss.log"))
+
+
+def test_checkpoint_roundtrip(trained):
+    from diffusesg_tpu.utils.checkpoint import restore_checkpoint, state_from_payload
+    cfg, bundle, model, state = trained
+    ckpt = sorted(glob.glob(os.path.join(cfg.model_ckpt_dir, "*")))[0]
+    payload = restore_checkpoint(ckpt)
+    restored = state_from_payload(payload)
+    leaves_a = jax.tree.leaves(restored.params)
+    leaves_b = jax.tree.leaves(jax.device_get(state.params))
+    assert len(leaves_a) == len(leaves_b)
+    assert payload["extra"]["epoch"] in (0, 1)
+
+
+def test_sanity_check_sampling_reproduces_gt(trained):
+    """GT-as-denoiser end-to-end: metrics must be perfect/near-zero
+    (the reference's epoch-0 sanity check, trainer_node_adj.py:279-280)."""
+    from diffusesg_tpu.sampling import get_mc_sampler
+    from diffusesg_tpu.sampling.orchestrator import sg_go_sampling
+    cfg, bundle, model, state = trained
+    sampler = get_mc_sampler(cfg)
+    metrics = sg_go_sampling(model, state.params, sampler, cfg, bundle,
+                             epoch=0, sanity_check=True,
+                             sampling_params={"model_nm": "sanity", "weight_kw": "1",
+                                              "model_path": "none"})
+    # GT-fed sampler must reproduce the dataset: type MMDs ~ 0
+    assert metrics["node_type_mmd_gaussian"] < 1e-6
+    assert metrics["edge_type_mmd_gaussian"] < 1e-6
+    assert metrics["node_degree_mmd_gaussian"] < 1e-6
+    # bbox f1 of identical sets: diagonal retrieval perfect
+    assert metrics["vanilla_f1_avg_max"] > 0.99
+    # artifacts written
+    csv = os.path.join(cfg.logdir, "eval_results.csv")
+    assert os.path.isfile(csv)
+    npzs = glob.glob(os.path.join(cfg.logdir, "sampling_during_training", "*", "*.npz"))
+    assert len(npzs) >= 2
+
+
+def test_model_sampling_runs(trained):
+    """Real model inference path (untrained weights): shapes + masking +
+    metric pipeline all work."""
+    from diffusesg_tpu.sampling import get_mc_sampler
+    from diffusesg_tpu.sampling.orchestrator import sg_go_sampling
+    from diffusesg_tpu.train.train_state import ema_slice
+    cfg, bundle, model, state = trained
+    sampler = get_mc_sampler(cfg)
+    params = ema_slice(jax.device_get(state.ema_params), -1)
+    metrics = sg_go_sampling(model, params, sampler, cfg, bundle,
+                             epoch=1, sanity_check=False)
+    assert np.isfinite(metrics["node_type_mmd_gaussian"])
+    assert np.isfinite(metrics["triplet_tv_dist_full_val"])
+
+
+def test_eval_samples_cli(trained, tmp_path):
+    from diffusesg_tpu.cli import eval_samples
+    cfg, bundle, model, state = trained
+    npzs = sorted(glob.glob(os.path.join(
+        cfg.logdir, "sampling_during_training", "*", "final_samples_array.npz")))
+    assert npzs
+    # write the tiny config for the CLI
+    from diffusesg_tpu.config import save_config
+    cfg_path = str(tmp_path / "cfg.yaml")
+    save_config(cfg, cfg_path)
+    out_path = str(tmp_path / "metrics.json")
+    metrics = eval_samples.main(["--npz", npzs[0], "-c", cfg_path,
+                                 "--data_root", "/nonexistent", "--out", out_path])
+    assert os.path.isfile(out_path)
+    assert "node_type_mmd_gaussian" in metrics
