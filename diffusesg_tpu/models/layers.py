@@ -119,21 +119,22 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(nwb, L, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [nWB, L, nH, hd]
 
-        bias = rel_bias[None].astype(self.dtype)  # [1, nH, L, L]
-        if mask is not None:
-            nw = mask.shape[0]
-            # per-window additive mask, broadcast over batch: [nWB, nH, L, L]
-            m = jnp.asarray(mask, self.dtype)[:, None, :, :]  # [nW, 1, L, L]
-            m = jnp.tile(m, (nwb // nw, 1, 1, 1))
-            bias = bias + m
-
+        mask_arr = None if mask is None else jnp.asarray(mask, jnp.float32)
         if self.use_pallas:
-            from ..ops.window_attention import fused_window_attention
-            out = fused_window_attention(q * scale, k, v, bias)
+            from ..ops.window_attention import fused_window_attention_qkhd
+            out = fused_window_attention_qkhd(
+                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2), rel_bias.astype(jnp.float32),
+                mask_arr, scale)
+            out = jnp.swapaxes(out, 1, 2)
         else:
             attn = jnp.einsum("blhd,bmhd->bhlm", q * scale, k,
                               preferred_element_type=jnp.float32)
-            attn = attn + bias.astype(jnp.float32)
+            attn = attn + rel_bias[None].astype(jnp.float32)
+            if mask_arr is not None:
+                nw = mask_arr.shape[0]
+                m = jnp.tile(mask_arr[:, None], (nwb // nw, 1, 1, 1))
+                attn = attn + m
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhlm,bmhd->blhd", attn, v)
         out = out.reshape(nwb, L, c)
