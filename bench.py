@@ -1,0 +1,93 @@
+"""Benchmark: graphs/sec/chip at 1000-step EDM Heun sampling (VG full config).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Baseline: the PyTorch reference denoiser (identical architecture and
+param count, 35,808,848) measured on this image's CPU (single thread,
+torch 2.13): 732 ms / forward at batch 4 => 4/0.7322/1999 forwards =
+0.002733 graphs/s at 1000-step Heun sampling (2 model evals per step, 1999
+total).  See BASELINE.md for the measurement provenance.
+
+Env knobs: BENCH_STEPS (default 1000), BENCH_BATCH (default 64),
+BENCH_DTYPE (default bfloat16), BENCH_PALLAS (default 1).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CPU_REFERENCE_GRAPHS_PER_SEC = 4 / 0.7322 / 1999  # 0.002733
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from diffusesg_tpu.config import load_config
+    from diffusesg_tpu.models import build_model
+    from diffusesg_tpu.models.factory import init_params
+    from diffusesg_tpu.models.precond import precond_forward
+    from diffusesg_tpu.sampling import get_mc_sampler
+
+    steps = int(os.environ.get("BENCH_STEPS", 1000))
+    batch = int(os.environ.get("BENCH_BATCH", 64))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    backend = jax.default_backend()
+
+    cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "configs/edm_diffuse_sg_regular_visual_genome.yaml"))
+    with cfg.unlocked():
+        cfg.mcmc.num_steps = steps
+        cfg.tpu.compute_dtype = dtype
+        cfg.tpu.use_pallas_attention = pallas and backend == "tpu"
+
+    model = build_model(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    sampler = get_mc_sampler(cfg)
+    n = cfg.dataset.max_node_num
+    flags = jnp.ones((batch, n), dtype=bool)
+
+    def denoiser(a, x, sigmas, sc_a, sc_x):
+        def model_fn(aa, xx, f, c_noise, s_a, s_x):
+            return model.apply(params, aa, xx, f, c_noise, s_a, s_x)
+        return precond_forward(model_fn, "edm", a, x, flags, sigmas, sc_a, sc_x)
+
+    # joint node+edge+bbox: ddpm encoding -> 5 node channels, 1 edge channel
+    fn = jax.jit(lambda rng: sampler.sample(denoiser, rng, flags, 5, 1))
+
+    t0 = time.time()
+    out = fn(jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    out = fn(jax.random.PRNGKey(2))
+    jax.block_until_ready(out)
+    run_s = time.time() - t0
+
+    n_evals = 2 * steps - 1  # Heun: 2 evals/step except the last
+    graphs_per_sec = batch / run_s
+    result = {
+        "metric": "graphs_per_sec_per_chip_1000step_sampling",
+        "value": round(graphs_per_sec * (steps / 1000.0), 4),
+        "unit": "graphs/s/chip",
+        "vs_baseline": round(graphs_per_sec * (steps / 1000.0)
+                             / CPU_REFERENCE_GRAPHS_PER_SEC, 1),
+        "p50_denoise_eval_ms": round(run_s / n_evals * 1000, 3),
+        "batch": batch,
+        "num_steps": steps,
+        "dtype": dtype,
+        "pallas_attention": cfg.tpu.use_pallas_attention,
+        "backend": backend,
+        "compile_s": round(compile_s, 1),
+        "run_s": round(run_s, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

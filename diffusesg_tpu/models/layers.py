@@ -156,7 +156,14 @@ class NoiseAffine(nn.Module):
 
 class SwinBlock(nn.Module):
     """One Swin transformer block with noise conditioning
-    (reference: diffusesg.py:158-277)."""
+    (reference: diffusesg.py:158-277).
+
+    The attention half — noise affine, LayerNorm, (shifted-)window attention,
+    residual — runs either as plain XLA ops or as ONE fused Pallas kernel
+    (ops/swin_block_kernel.py) that reads the spatial layout directly and
+    keeps scores/weights VMEM-resident.  Both paths share the exact same
+    parameters (declared flat on this module).
+    """
     dim: int
     input_resolution: tuple[int, int]
     num_heads: int
@@ -168,6 +175,8 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb):
+        from ..ops.swin_block_kernel import fused_swin_attn_block, swin_attn_block_xla
+
         h, w = self.input_resolution
         b, L, c = x.shape
         window, shift = self.window_size, self.shift_size
@@ -176,23 +185,40 @@ class SwinBlock(nn.Module):
             # (reference: diffusesg.py:189-192)
             window, shift = min(h, w), 0
 
-        x = NoiseAffine(self.dim, self.dtype)(x, emb)
+        # parameters (shared by the XLA and Pallas paths)
+        scale_shift = nn.Dense(self.dim * 2, dtype=self.dtype, **DENSE_KW)(emb)  # [B, 2C]
+        ln_gamma = self.param("norm1_scale", nn.initializers.ones, (c,))
+        ln_beta = self.param("norm1_bias", nn.initializers.zeros, (c,))
+        wqkv = self.param("qkv_kernel", trunc_normal_init(), (c, 3 * c))
+        bqkv = self.param("qkv_bias", nn.initializers.zeros, (3 * c,))
+        wproj = self.param("proj_kernel", trunc_normal_init(), (c, c))
+        bproj = self.param("proj_bias", nn.initializers.zeros, (c,))
+        bias_table = self.param("relative_position_bias_table", trunc_normal_init(),
+                                ((2 * window - 1) ** 2, self.num_heads))
+        rel_idx = relative_position_index(window).reshape(-1)
+        rel_bias = bias_table[rel_idx].reshape(window * window, window * window,
+                                               self.num_heads).transpose(2, 0, 1)
 
-        shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype)(x)
-        x = x.reshape(b, h, w, c)
+        mask = None
         if shift > 0:
-            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            mask = shifted_window_attn_mask(h, w, window, shift)
+            mask = jnp.asarray(shifted_window_attn_mask(h, w, window, shift))
+
+        xs = x.reshape(b, h, w, c).astype(self.dtype)
+        if shift > 0:
+            xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
+        fn = fused_swin_attn_block if self.use_pallas else swin_attn_block_xla
+        if self.use_pallas:
+            out = fn(xs, scale_shift.astype(self.dtype), ln_gamma, ln_beta,
+                     wqkv.astype(self.dtype), bqkv, wproj.astype(self.dtype),
+                     bproj, rel_bias, mask, self.num_heads, window)
         else:
-            mask = None
-        xw = window_partition(x, window).reshape(-1, window * window, c)
-        xw = WindowAttention(self.dim, window, self.num_heads,
-                             dtype=self.dtype, use_pallas=self.use_pallas)(xw, mask)
-        x = window_reverse(xw.reshape(-1, window, window, c), window, h, w)
+            out = fn(xs, scale_shift.astype(self.dtype), ln_gamma, ln_beta,
+                     wqkv.astype(self.dtype), bqkv, wproj.astype(self.dtype),
+                     bproj, rel_bias, mask, num_heads=self.num_heads,
+                     window=window)
         if shift > 0:
-            x = jnp.roll(x, (shift, shift), axis=(1, 2))
-        x = shortcut + x.reshape(b, L, c)
+            out = jnp.roll(out, (shift, shift), axis=(1, 2))
+        x = out.reshape(b, L, c)
 
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype)(y)

@@ -230,13 +230,24 @@ class NodeAdjEDMSampler:
     def sample(self, denoiser_fn: DenoiserFn, rng: jax.Array, node_flags: jax.Array,
                num_node_chan: int, num_edge_chan: int,
                init_adjs: jax.Array | None = None, init_nodes: jax.Array | None = None,
-               num_interim: int = 0):
+               num_interim: int = 0, inpaint: dict | None = None):
         """Run the full reverse diffusion; returns (adjs, nodes[, interim]).
 
         ``denoiser_fn`` is the preconditioned model
         (adjs, nodes, sigmas[B], sc_a, sc_x) -> (D_adj, D_node); for the
         GT-sanity-check mode pass a closure that ignores its inputs and
         returns the ground truth (reference: edm.py:375-377).
+
+        ``inpaint`` enables conditional completion (masked inpainting — the
+        generalization of the reference's init_adjs/init_nodes hooks,
+        edm.py:291-329): a dict with keys among
+          gt_adjs / gt_nodes       known clean values (encoded space)
+          mask_adjs [B, N, N(,1)]  1 where the adj entry is KNOWN
+          mask_nodes [B, N(,1)]    1 where the node entry is KNOWN
+        At every step the known entries are re-noised from the ground truth
+        at the current noise level (x_t = y + sigma_t * eps, EDM identity
+        schedule), RePaint-style; the final output carries the exact known
+        values.
         """
         coefs = jnp.asarray(self.step_coefficients())
         rng, rng_init = jax.random.split(rng)
@@ -272,9 +283,37 @@ class NodeAdjEDMSampler:
                                    sigma_vec, sc_a, sc_x)
             return mask_adjs(D_a, node_flags), mask_nodes(D_x, node_flags)
 
-        def step(carry, inp):
+        inpaint_cfg = inpaint or {}
+        ip_mask_a = inpaint_cfg.get("mask_adjs")
+        ip_mask_x = inpaint_cfg.get("mask_nodes")
+        ip_gt_a = inpaint_cfg.get("gt_adjs")
+        ip_gt_x = inpaint_cfg.get("gt_nodes")
+
+        def _apply_inpaint(adjs_v, nodes_v, sigma, rng_ip):
+            """Replace known entries with GT re-noised at level sigma."""
+            k_a, k_x = jax.random.split(rng_ip)
+            if ip_mask_a is not None and ip_gt_a is not None:
+                m = ip_mask_a.astype(adjs_v.dtype)
+                if m.ndim < adjs_v.ndim:
+                    m = m[..., None]
+                if self.symmetric_noise:
+                    noise = get_sym_normal_noise(k_a, adjs_v.shape, adjs_v.dtype)
+                else:
+                    noise = jax.random.normal(k_a, adjs_v.shape, adjs_v.dtype)
+                known = mask_adjs(ip_gt_a + sigma * noise, node_flags)
+                adjs_v = known * m + adjs_v * (1 - m)
+            if ip_mask_x is not None and ip_gt_x is not None:
+                m = ip_mask_x.astype(nodes_v.dtype)
+                if m.ndim < nodes_v.ndim:
+                    m = m[..., None]
+                known = mask_nodes(ip_gt_x + sigma * jax.random.normal(
+                    k_x, nodes_v.shape, nodes_v.dtype), node_flags)
+                nodes_v = known * m + nodes_v * (1 - m)
+            return adjs_v, nodes_v
+
+        def step(carry, scan_in):
             adjs, nodes, sc_a, sc_x, rng, ia, ix = carry
-            step_idx, row = inp
+            step_idx, row = scan_in
             (noise_coef, s_ratio, h, A_hat, B_hat, A_prime, B_prime,
              sigma_hat, inv_s_hat, is_heun, sigma_prime, inv_s_prime) = [
                 row[k] for k in range(12)]
@@ -286,6 +325,10 @@ class NodeAdjEDMSampler:
                 k2, nodes.shape, nodes.dtype)
             adjs_hat = mask_adjs(adjs_hat, node_flags)
             nodes_hat = mask_nodes(nodes_hat, node_flags)
+            if inpaint_cfg:
+                rng, k_ip = jax.random.split(rng)
+                adjs_hat, nodes_hat = _apply_inpaint(adjs_hat, nodes_hat,
+                                                     sigma_hat, k_ip)
 
             # Euler evaluation (edm.py:368-391)
             den_a, den_x = _denoise(adjs_hat, nodes_hat, inv_s_hat, sigma_hat, sc_a, sc_x)
@@ -342,8 +385,11 @@ class NodeAdjEDMSampler:
         zeros_x = jnp.zeros_like(nodes0)
         carry0 = (adjs0, nodes0, zeros_a, zeros_x, rng, interim_a, interim_x)
         steps = jnp.arange(self.num_steps)
-        (adjs, nodes, _, _, _, interim_a, interim_x), _ = jax.lax.scan(
+        (adjs, nodes, _, _, rng_out, interim_a, interim_x), _ = jax.lax.scan(
             step, carry0, (steps, coefs))
+        if inpaint_cfg:
+            # carry the exact known values in the final output
+            adjs, nodes = _apply_inpaint(adjs, nodes, 0.0, rng_out)
         if num_interim > 0:
             return adjs, nodes, interim_a, interim_x
         return adjs, nodes

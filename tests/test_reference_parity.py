@@ -85,14 +85,15 @@ def _mlp(sd, prefix):
 
 def _swin_block(sd, prefix):
     return {
-        "NoiseAffine_0": {"Dense_0": _dense(sd, f"{prefix}.affine")},
-        "LayerNorm_0": _ln(sd, f"{prefix}.norm1"),
-        "WindowAttention_0": {
-            "relative_position_bias_table": _t2j(sd[f"{prefix}.attn.relative_position_bias_table"]),
-            "Dense_0": _dense(sd, f"{prefix}.attn.qkv"),
-            "Dense_1": _dense(sd, f"{prefix}.attn.proj"),
-        },
-        "LayerNorm_1": _ln(sd, f"{prefix}.norm2"),
+        "Dense_0": _dense(sd, f"{prefix}.affine"),
+        "norm1_scale": _t2j(sd[f"{prefix}.norm1.weight"]),
+        "norm1_bias": _t2j(sd[f"{prefix}.norm1.bias"]),
+        "relative_position_bias_table": _t2j(sd[f"{prefix}.attn.relative_position_bias_table"]),
+        "qkv_kernel": _t2j(sd[f"{prefix}.attn.qkv.weight"]).T,
+        "qkv_bias": _t2j(sd[f"{prefix}.attn.qkv.bias"]),
+        "proj_kernel": _t2j(sd[f"{prefix}.attn.proj.weight"]).T,
+        "proj_bias": _t2j(sd[f"{prefix}.attn.proj.bias"]),
+        "LayerNorm_0": _ln(sd, f"{prefix}.norm2"),
         "Mlp_0": _mlp(sd, f"{prefix}.mlp"),
     }
 
