@@ -13,3 +13,4 @@ from .blt import (
 )
 from .voc_f1 import compute_bbox_f1
 from .sg_evaluator import SceneGraphEvaluator
+from .sg_statistics import compute_sg_statistics

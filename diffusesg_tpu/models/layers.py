@@ -220,9 +220,18 @@ class SwinBlock(nn.Module):
             out = jnp.roll(out, (shift, shift), axis=(1, 2))
         x = out.reshape(b, L, c)
 
-        y = nn.LayerNorm(dtype=self.dtype)(x)
-        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype)(y)
-        return x + y
+        # MLP half: y = x + fc2(gelu(fc1(LN(x)))), fused on TPU
+        hidden = int(self.dim * self.mlp_ratio)
+        ln2_gamma = self.param("norm2_scale", nn.initializers.ones, (c,))
+        ln2_beta = self.param("norm2_bias", nn.initializers.zeros, (c,))
+        w1 = self.param("mlp_fc1_kernel", trunc_normal_init(), (c, hidden))
+        b1 = self.param("mlp_fc1_bias", nn.initializers.zeros, (hidden,))
+        w2 = self.param("mlp_fc2_kernel", trunc_normal_init(), (hidden, c))
+        b2 = self.param("mlp_fc2_bias", nn.initializers.zeros, (c,))
+        from ..ops.mlp_block_kernel import fused_mlp_block, mlp_block_xla
+        mlp_fn = fused_mlp_block if self.use_pallas else mlp_block_xla
+        return mlp_fn(x, ln2_gamma, ln2_beta, w1.astype(self.dtype), b1,
+                      w2.astype(self.dtype), b2)
 
 
 class PatchMerging(nn.Module):

@@ -1,0 +1,116 @@
+"""Fused MLP half-block Pallas TPU kernel.
+
+Covers the FFN half of a SwinTransformerBlock
+(reference: DiffuseSG/model/diffusesg/diffusesg.py:274-275):
+
+    y = x + fc2(gelu(fc1(LayerNorm(x))))
+
+in one kernel pass over token tiles: HBM traffic is one read + one write of
+the activations; the LayerNorm statistics, the [T, hidden] intermediate and
+both weight matrices stay in VMEM.
+
+Backward: custom_vjp recomputing with plain XLA ops.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _layer_norm(x, gamma, beta, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
+def mlp_block_xla(x, ln_gamma, ln_beta, w1, b1, w2, b2):
+    """Reference XLA path: x [B, L, C]."""
+    h = _layer_norm(x.astype(jnp.float32), ln_gamma, ln_beta).astype(x.dtype)
+    h = jnp.dot(h, w1, preferred_element_type=jnp.float32) + b1
+    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    out = jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2
+    return x + out.astype(x.dtype)
+
+
+def _erf_gelu(x):
+    """In-kernel GELU.  Mosaic implements neither erf nor erfc, so the kernel
+    uses the tanh approximation (max abs deviation ~3e-3 from exact GELU,
+    below bf16 resolution at typical activation scales); the XLA path keeps
+    the exact erf form for reference parity."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    x = x_ref[0]  # [T, C]
+    h = _layer_norm(x.astype(jnp.float32), g_ref[0].astype(jnp.float32),
+                    b_ref[0].astype(jnp.float32)).astype(x.dtype)
+    h = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0].astype(jnp.float32)
+    h = _erf_gelu(h).astype(x.dtype)
+    out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    out = out + b2_ref[0].astype(jnp.float32)
+    o_ref[0] = (x.astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+@jax.custom_vjp
+def fused_mlp_block(x, ln_gamma, ln_beta, w1, b1, w2, b2):
+    return _fwd_impl(x, ln_gamma, ln_beta, w1, b1, w2, b2)
+
+
+def _pick_token_tile(L: int, c: int, hidden: int) -> int:
+    """Token-tile size: budget ~2MB for the fp32 hidden intermediate."""
+    t = 1024
+    while t > 8 and (L % t or t * hidden * 4 > 4 * 1024 * 1024):
+        t //= 2
+    while L % t:
+        t //= 2
+    return max(t, 1)
+
+
+def _fwd_impl(x, ln_gamma, ln_beta, w1, b1, w2, b2):
+    if jax.default_backend() != "tpu":
+        return mlp_block_xla(x, ln_gamma, ln_beta, w1, b1, w2, b2)
+    b, L, c = x.shape
+    hidden = w1.shape[1]
+    t = _pick_token_tile(L, c, hidden)
+    grid = (b, L // t)
+
+    vec = lambda v: v.reshape(1, -1)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda bi, r: (bi, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gamma [1, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # beta [1, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1 [C, H]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1 [1, H]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 [H, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b2 [1, C]
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda bi, r: (bi, r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=b * L * c * hidden * 4,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=b * L * hidden),
+    )(x, vec(ln_gamma), vec(ln_beta), w1, vec(b1), w2, vec(b2))
+
+
+def _fwd(x, ln_gamma, ln_beta, w1, b1, w2, b2):
+    out = _fwd_impl(x, ln_gamma, ln_beta, w1, b1, w2, b2)
+    return out, (x, ln_gamma, ln_beta, w1, b1, w2, b2)
+
+
+def _bwd(residuals, g):
+    x, ln_gamma, ln_beta, w1, b1, w2, b2 = residuals
+    _, vjp = jax.vjp(mlp_block_xla, x, ln_gamma, ln_beta, w1, b1, w2, b2)
+    return vjp(g)
+
+
+fused_mlp_block.defvjp(_fwd, _bwd)

@@ -107,7 +107,7 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
         num_adj_type=(raw_num_adj_type if not flag_binary_edge else 2),
         flag_bbox=flag_bbox, flag_node_only=flag_node_only))
 
-    out = {"q_adj": [], "q_node": [], "bbox": [], "flags": [],
+    out = {"q_adj": [], "q_node": [], "bbox": [], "flags": [], "flags_gt": [],
            "q_adj_gt": [], "q_node_gt": [], "bbox_gt": [], "image_ids": [],
            "raw_a": [], "raw_x": []}
     num_nodes_pool = np.asarray([len(g["node_labels"]) for g in test_data.pkl_data]) \
@@ -156,20 +156,41 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
 
         out["raw_a"].append(np.asarray(adjs))
         out["raw_x"].append(np.asarray(nodes))
-        out["q_adj"].append(np.asarray(dec.adj_types))
-        out["q_adj_gt"].append(np.asarray(dec_gt.adj_types))
-        out["flags"].append(sample_flags)
         out["image_ids"].append(image_ids)
-        if not flag_node_only:
+        if flag_node_only:
+            # unpack the node attributes packed on the adj grid back to
+            # vectors (reference: sampler_node_adj.py:179-191,287-300)
+            from ..ops.attribute_code import reshape_node_attr_mat_to_vec
+            n_allowed = info["num_allowed_nodes"]
+            q_node, flags_vec = reshape_node_attr_mat_to_vec(
+                dec.adj_types.astype(jnp.float32), sample_flags_j, n_allowed)
+            q_node_gt, flags_gt_vec = reshape_node_attr_mat_to_vec(
+                dec_gt.adj_types.astype(jnp.float32), jnp.asarray(flags), n_allowed)
+            out["q_node"].append(np.asarray(q_node).astype(np.int64))
+            out["q_node_gt"].append(np.asarray(q_node_gt).astype(np.int64))
+            out["q_adj"].append(np.zeros((len(q_node), n_allowed, n_allowed), np.int64))
+            out["q_adj_gt"].append(np.zeros((len(q_node), n_allowed, n_allowed), np.int64))
+            out["flags"].append(np.asarray(flags_vec))
+            out["flags_gt"].append(np.asarray(flags_gt_vec))
+            if flag_bbox:
+                bb, _ = reshape_node_attr_mat_to_vec(dec.bboxes, sample_flags_j, n_allowed)
+                bb_gt, _ = reshape_node_attr_mat_to_vec(dec_gt.bboxes,
+                                                        jnp.asarray(flags), n_allowed)
+                out["bbox"].append(np.asarray(bb))
+                out["bbox_gt"].append(np.asarray(bb_gt))
+        else:
+            out["q_adj"].append(np.asarray(dec.adj_types))
+            out["q_adj_gt"].append(np.asarray(dec_gt.adj_types))
+            out["flags"].append(sample_flags)
+            out["flags_gt"].append(flags)
             out["q_node"].append(np.asarray(dec.node_types))
             out["q_node_gt"].append(np.asarray(dec_gt.node_types))
-        if flag_bbox:
-            out["bbox"].append(np.asarray(dec.bboxes))
-            out["bbox_gt"].append(np.asarray(dec_gt.bboxes))
+            if flag_bbox:
+                out["bbox"].append(np.asarray(dec.bboxes))
+                out["bbox_gt"].append(np.asarray(dec_gt.bboxes))
     logging.info("sampling done in %.1fs", time.time() - t0)
 
     res = {k: np.concatenate(v, 0) for k, v in out.items() if v}
-    res["flags_gt"] = np.asarray(eval_set.node_flags[:len(res["q_adj_gt"])])
     # multi-host: gather every result tensor (reference: sampler_node_adj.py:331-345)
     if jax.process_count() > 1:
         res = {k: gather_to_host(v) for k, v in res.items()}
@@ -198,18 +219,17 @@ def evaluate_samples(res: dict, config, bundle, raw_num_node_type, raw_num_adj_t
     for kname, sub in deg.items():
         for key, val in sub.items():
             metrics[f"node_{key}_mmd_{kname}"] = val
+    ntm = ev.compute_node_type_mmd(res["q_node"], res["q_node_gt"], res["flags"],
+                                   res["flags_gt"], raw_num_node_type, kernels)
+    for kname, val in ntm.items():
+        metrics[f"node_type_mmd_{kname}"] = val
+    etm = ev.compute_edge_type_mmd(res["q_adj"], res["q_adj_gt"], res["flags"],
+                                   res["flags_gt"],
+                                   raw_num_adj_type if not flag_binary_edge else 2,
+                                   kernels)
+    for kname, val in etm.items():
+        metrics[f"edge_type_mmd_{kname}"] = val
     if not flag_node_only:
-        ntm = ev.compute_node_type_mmd(res["q_node"], res["q_node_gt"], res["flags"],
-                                       res["flags_gt"], raw_num_node_type, kernels)
-        for kname, val in ntm.items():
-            metrics[f"node_type_mmd_{kname}"] = val
-        etm = ev.compute_edge_type_mmd(res["q_adj"], res["q_adj_gt"], res["flags"],
-                                       res["flags_gt"],
-                                       raw_num_adj_type if not flag_binary_edge else 2,
-                                       kernels)
-        for kname, val in etm.items():
-            metrics[f"edge_type_mmd_{kname}"] = val
-
         for tag, tdict in [("val", bundle.test_triplet_dict),
                            ("train", bundle.train_triplet_dict)]:
             rej, all_, full, novelty = ev.compute_triplet_tv_dist(
@@ -220,7 +240,7 @@ def evaluate_samples(res: dict, config, bundle, raw_num_node_type, raw_num_adj_t
             metrics[f"triplet_tv_dist_full_{tag}"] = full
             metrics[f"triplet_novelty_{tag}"] = novelty
 
-    if flag_bbox and not flag_node_only:
+    if flag_bbox and "bbox" in res:
         pred_bbox = np.clip(np.asarray(box_cxcywh_to_xyxy(jnp.asarray(res["bbox"]))), 0, 1)
         gt_bbox = np.clip(np.asarray(box_cxcywh_to_xyxy(jnp.asarray(res["bbox_gt"]))), 0, 1)
         for prefix, bbox, flags in [("pred", pred_bbox, res["flags"]),
@@ -288,6 +308,14 @@ def write_artifacts(res, metrics, config, bundle, epoch, eval_mode, sanity_check
                         **npz_payload)
     if skip_eval:
         return
+
+    # dataset-statistics dashboard (reference: sampler_node_adj.py:417-435)
+    try:
+        from ..eval.sg_statistics import compute_sg_statistics
+        compute_sg_statistics(npz_payload, bundle.test.pkl_data,
+                              bundle.idx_to_word, outdir)
+    except Exception as e:
+        logging.warning("sg statistics report failed: %s", e)
 
     if metrics.get("_mat_f1"):
         for name, mat in metrics["_mat_f1"].items():

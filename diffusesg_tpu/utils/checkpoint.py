@@ -18,18 +18,21 @@ from __future__ import annotations
 import os
 from typing import Any
 
+from typing import TYPE_CHECKING
+
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from ..train.train_state import TrainState
+if TYPE_CHECKING:  # avoid a utils <-> train circular import at runtime
+    from ..train.train_state import TrainState
 
 
 def _to_host(tree: Any) -> Any:
     return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
 
 
-def save_checkpoint(path: str, state: TrainState, extra: dict | None = None) -> None:
+def save_checkpoint(path: str, state: "TrainState", extra: dict | None = None) -> None:
     """Save a TrainState (+ optional metadata dict) to ``path``."""
     path = os.path.abspath(path)
     payload = {
@@ -46,7 +49,7 @@ def save_checkpoint(path: str, state: TrainState, extra: dict | None = None) -> 
     ckptr.wait_until_finished()
 
 
-def restore_checkpoint(path: str, template_state: TrainState | None = None) -> dict:
+def restore_checkpoint(path: str, template_state: "TrainState | None" = None) -> dict:
     """Restore a checkpoint; with a template the result is dtype/shape-checked."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
@@ -66,8 +69,9 @@ def restore_checkpoint(path: str, template_state: TrainState | None = None) -> d
     return ckptr.restore(path)
 
 
-def state_from_payload(payload: dict) -> TrainState:
+def state_from_payload(payload: dict):
     import jax.numpy as jnp
+    from ..train.train_state import TrainState
     return TrainState(step=jnp.asarray(payload["step"]),
                       params=payload["params"],
                       opt_state=payload["opt_state"],

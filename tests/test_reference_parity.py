@@ -93,8 +93,12 @@ def _swin_block(sd, prefix):
         "qkv_bias": _t2j(sd[f"{prefix}.attn.qkv.bias"]),
         "proj_kernel": _t2j(sd[f"{prefix}.attn.proj.weight"]).T,
         "proj_bias": _t2j(sd[f"{prefix}.attn.proj.bias"]),
-        "LayerNorm_0": _ln(sd, f"{prefix}.norm2"),
-        "Mlp_0": _mlp(sd, f"{prefix}.mlp"),
+        "norm2_scale": _t2j(sd[f"{prefix}.norm2.weight"]),
+        "norm2_bias": _t2j(sd[f"{prefix}.norm2.bias"]),
+        "mlp_fc1_kernel": _t2j(sd[f"{prefix}.mlp.fc1.weight"]).T,
+        "mlp_fc1_bias": _t2j(sd[f"{prefix}.mlp.fc1.bias"]),
+        "mlp_fc2_kernel": _t2j(sd[f"{prefix}.mlp.fc2.weight"]).T,
+        "mlp_fc2_bias": _t2j(sd[f"{prefix}.mlp.fc2.bias"]),
     }
 
 
