@@ -83,8 +83,12 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
     if flag_binary_edge:
         num_adj_type = 1
     if flag_node_only:
-        num_adj_type = num_node_type
-        num_node_type = 5 if flag_bbox else 4
+        # node-only packs node attrs (+bbox) onto the adj grid; the sampler's
+        # adj channel count is the real grid channel count (the reference
+        # instead relies on an implicit torch broadcast of a channel-less
+        # initial noise, sampler_node_adj.py:80-83 + edm.py:396)
+        num_adj_type = info["in_chans_adj"]
+        num_node_type = 1  # dummy [B, N] node vector
 
     eval_size = cfg_test.eval_size
     test_data = bundle.test
