@@ -164,7 +164,26 @@ class SceneGraphEvaluator:
                 float(np.abs(tv_all[n_allowed:]).sum()))
 
     # -- bbox ---------------------------------------------------------------
-    compute_bbox_f1 = staticmethod(compute_bbox_f1)
+    @staticmethod
+    def compute_bbox_f1(node_bbox_gen, node_types_gen, node_flags_gen,
+                        node_bbox_ref, node_types_ref, node_flags_ref,
+                        class_weight_ls=None):
+        """All-pairs F1 matrix; native C++ engine when available, vectorized
+        numpy otherwise (both verified against the reference matcher)."""
+        try:
+            from .native import compute_bbox_f1_native
+            out = compute_bbox_f1_native(node_bbox_gen, node_types_gen,
+                                         node_flags_gen, node_bbox_ref,
+                                         node_types_ref, node_flags_ref,
+                                         class_weight_ls)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+        return compute_bbox_f1(node_bbox_gen, node_types_gen, node_flags_gen,
+                               node_bbox_ref, node_types_ref, node_flags_ref,
+                               class_weight_ls)
+
     compute_bbox_ioa = staticmethod(compute_bbox_ioa)
 
 

@@ -256,3 +256,39 @@ def test_triplet_novelty_counted():
     rej, all_, full, novelty = SceneGraphEvaluator.compute_triplet_tv_dist(
         adj, types, flags, tdict, tdict)
     np.testing.assert_allclose(novelty, 1.0)  # all generated mass is novel
+
+
+# ------------------------------------------------------------- native engine
+
+def test_native_f1_matches_numpy():
+    """The C++ VOC-F1 engine must agree exactly with the (reference-verified)
+    numpy implementation."""
+    from diffusesg_tpu.eval.native import compute_bbox_f1_native, get_lib
+    if get_lib() is None:
+        pytest.skip("native build unavailable")
+    rs = np.random.RandomState(11)
+    num_classes, n = 8, 10
+    bg, tg, fg = zip(*[_random_scene(rs, n, num_classes) for _ in range(6)])
+    br, tr, fr = zip(*[_random_scene(rs, n, num_classes) for _ in range(5)])
+    bg, tg, fg = map(np.stack, (bg, tg, fg))
+    br, tr, fr = map(np.stack, (br, tr, fr))
+    for weights in [None, [np.ones(num_classes), rs.rand(num_classes) + 0.1]]:
+        ref = compute_bbox_f1(bg, tg, fg, br, tr, fr, class_weight_ls=weights)
+        nat = compute_bbox_f1_native(bg, tg, fg, br, tr, fr, class_weight_ls=weights)
+        np.testing.assert_allclose(nat, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_native_f1_speed_smoke():
+    from diffusesg_tpu.eval.native import compute_bbox_f1_native, get_lib
+    if get_lib() is None:
+        pytest.skip("native build unavailable")
+    import time
+    rs = np.random.RandomState(12)
+    num_classes, n, B = 20, 16, 64
+    b, t, f = zip(*[_random_scene(rs, n, num_classes) for _ in range(B)])
+    b, t, f = map(np.stack, (b, t, f))
+    t0 = time.time()
+    out = compute_bbox_f1_native(b, t, f, b, t, f)
+    dt = time.time() - t0
+    assert out.shape == (B, B, 1)
+    assert dt < 5.0  # 4096 pairs well under a second natively
