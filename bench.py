@@ -25,6 +25,15 @@ CPU_REFERENCE_GRAPHS_PER_SEC = 4 / 0.7322 / 1999  # 0.002733
 
 def main():
     import jax
+    # persistent compilation cache: repeated bench/driver runs skip the
+    # multi-minute XLA compile when supported by the backend
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from diffusesg_tpu.config import load_config
     from diffusesg_tpu.models import build_model
@@ -59,14 +68,20 @@ def main():
     # joint node+edge+bbox: ddpm encoding -> 5 node channels, 1 edge channel
     fn = jax.jit(lambda rng: sampler.sample(denoiser, rng, flags, 5, 1))
 
+    import numpy as np
+
+    def _force(o):
+        # block_until_ready can return early under tunneled backends; a host
+        # fetch of a real element is the reliable completion barrier
+        jax.block_until_ready(o)
+        return float(np.asarray(jax.tree.leaves(o)[0])[0].ravel()[0])
+
     t0 = time.time()
-    out = fn(jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
+    _force(fn(jax.random.PRNGKey(1)))
     compile_s = time.time() - t0
 
     t0 = time.time()
-    out = fn(jax.random.PRNGKey(2))
-    jax.block_until_ready(out)
+    _force(fn(jax.random.PRNGKey(2)))
     run_s = time.time() - t0
 
     n_evals = 2 * steps - 1  # Heun: 2 evals/step except the last

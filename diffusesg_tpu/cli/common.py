@@ -60,6 +60,8 @@ def build_eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_ema", default="all")
     p.add_argument("--sanity_check", action="store_true")
     p.add_argument("--random_node_num", action="store_true")
+    p.add_argument("--test_pkl", default=None,
+                   help="custom test pickle path (overrides test.test_pkl)")
     p.add_argument("--skip_eval", action="store_true")
     p.add_argument("--data_root", default=".")
     p.add_argument("-o", "--override", action="append", default=[],

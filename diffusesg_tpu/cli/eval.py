@@ -38,6 +38,9 @@ def main(argv=None):
         k, v = item.split("=", 1)
         overrides[k] = v
     config = load_config(config_file, overrides=overrides)
+    if getattr(args, "test_pkl", None):
+        with config.unlocked():
+            config.test.test_pkl = args.test_pkl
     set_seed_and_logger(config, mode="eval")
 
     bundle = load_data(config, eval_mode=True, data_root=args.data_root)

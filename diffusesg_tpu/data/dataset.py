@@ -215,6 +215,13 @@ def load_data(config, eval_mode: bool = False, data_root: str = ".") -> SceneGra
     num_node_type, num_edge_type, _ = dataset_constants(name)
     key = "visual_genome" if "visual_genome" in name else "coco_stuff"
     paths = {k: os.path.join(data_root, v) for k, v in _DATASET_PATHS[key].items()}
+    # custom test pickle override (reference: dataloader.py:265-274, incl.
+    # the layout2img unknown-type bump for VG)
+    custom_test_pkl = config.test.get("test_pkl") if "test" in config else None
+    if custom_test_pkl:
+        paths["test_pkl"] = custom_test_pkl
+        if "visual_genome" in name and "layout2img" in custom_test_pkl:
+            num_node_type = 151
 
     use_synthetic = bool(config.dataset.get("synthetic", False)) or \
         not os.path.exists(paths["train_pkl"])

@@ -38,6 +38,20 @@ from ..ops.masking import mask_adjs, mask_nodes, get_sym_normal_noise
 DenoiserFn = Callable[..., tuple[jax.Array, jax.Array]]
 
 
+def adj_to_int(adjs_cont: jax.Array, node_flags: jax.Array, threshold: float) -> jax.Array:
+    """Threshold a continuous adjacency into 0/1 (reference:
+    runner/mcmc_sampler/__init__.py:43-47)."""
+    out = jnp.where(adjs_cont < threshold, 0.0, 1.0)
+    return mask_adjs(out, node_flags)
+
+
+def get_num_edges(adjs_cont: jax.Array, node_flags: jax.Array, threshold: float) -> jax.Array:
+    """Edge count per graph after thresholding (reference:
+    runner/mcmc_sampler/__init__.py:49-52)."""
+    disc = adj_to_int(adjs_cont, node_flags, threshold)
+    return (disc > 0).sum(axis=(-1, -2)).astype(jnp.float32) / 2.0
+
+
 # ---------------------------------------------------------------------------
 # host-side (float64) schedule helpers
 
