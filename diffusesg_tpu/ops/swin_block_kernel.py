@@ -75,7 +75,7 @@ def swin_attn_block_xla(x, scale_shift, ln_gamma, ln_beta, wqkv, bqkv,
     # window reverse
     out = out.reshape(b, hw, ww, window, window, c).transpose(0, 1, 3, 2, 4, 5)
     out = out.reshape(b, h, w, c)
-    return a + out
+    return (a + out.astype(jnp.float32)).astype(x.dtype)
 
 
 def _kernel(x_ref, ss_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
