@@ -206,8 +206,11 @@ class SwinBlock(nn.Module):
         xs = x.reshape(b, h, w, c).astype(self.dtype)
         if shift > 0:
             xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
-        fn = fused_swin_attn_block if self.use_pallas else swin_attn_block_xla
-        if self.use_pallas:
+        # the fused kernel wins when there are enough windows to pipeline;
+        # at full-grid stages (1 window/image) the XLA path is faster
+        use_pallas = self.use_pallas and (h // window) * (w // window) >= 4
+        fn = fused_swin_attn_block if use_pallas else swin_attn_block_xla
+        if use_pallas:
             out = fn(xs, scale_shift.astype(self.dtype), ln_gamma, ln_beta,
                      wqkv.astype(self.dtype), bqkv, wproj.astype(self.dtype),
                      bproj, rel_bias, mask, self.num_heads, window)
@@ -229,7 +232,7 @@ class SwinBlock(nn.Module):
         w2 = self.param("mlp_fc2_kernel", trunc_normal_init(), (hidden, c))
         b2 = self.param("mlp_fc2_bias", nn.initializers.zeros, (c,))
         from ..ops.mlp_block_kernel import fused_mlp_block, mlp_block_xla
-        mlp_fn = fused_mlp_block if self.use_pallas else mlp_block_xla
+        mlp_fn = fused_mlp_block if use_pallas else mlp_block_xla
         return mlp_fn(x, ln2_gamma, ln2_beta, w1.astype(self.dtype), b1,
                       w2.astype(self.dtype), b2)
 

@@ -62,13 +62,19 @@ def fused_mlp_block(x, ln_gamma, ln_beta, w1, b1, w2, b2):
 
 
 def _pick_token_tile(L: int, c: int, hidden: int) -> int:
-    """Token-tile size: budget ~2MB for the fp32 hidden intermediate."""
-    t = 1024
-    while t > 8 and (L % t or t * hidden * 4 > 4 * 1024 * 1024):
-        t //= 2
-    while L % t:
-        t //= 2
-    return max(t, 1)
+    """Token-tile size.  Mosaic requires the sublane block dim to be a
+    multiple of 8 or equal to the full axis, so pick the largest
+    multiple-of-8 divisor of L within a ~4MB fp32-hidden budget, falling
+    back to the whole axis (e.g. L=100 at COCO's deepest stage)."""
+    best = L
+    t = 8
+    while t <= L:
+        if L % t == 0 and t * hidden * 4 <= 4 * 1024 * 1024:
+            best = t
+        t *= 2
+    if best % 8 != 0 and best != L:
+        return L
+    return best
 
 
 def _fwd_impl(x, ln_gamma, ln_beta, w1, b1, w2, b2):
