@@ -217,3 +217,65 @@ def test_forward_parity_small(ref_module, self_condition):
     ref_a = ref_a.permute(0, 2, 3, 1).numpy() if ref_a.dim() == 4 else ref_a.numpy()
     np.testing.assert_allclose(np.asarray(got_a), ref_a, atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(got_x), ref_x.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_precond_forward_parity(ref_module):
+    """Full preconditioned denoiser evaluation D = c_skip*x + c_out*F vs the
+    reference NodeAdjPrecond (reference: model/precond/precond.py:60-110),
+    self-conditioning disabled for determinism."""
+    import importlib
+    import jax
+    import jax.numpy as jnp
+    from diffusesg_tpu.models import DiffuseSG
+    from diffusesg_tpu.models.precond import precond_forward
+
+    sys.path.insert(0, REF)
+    try:
+        precond_mod = importlib.import_module("model.precond.precond")
+    finally:
+        sys.path.remove(REF)
+
+    torch.manual_seed(1)
+    n, embed_dim, window = 16, 48, 8
+    depths, heads = [1, 1], [3, 6]
+    c_a, c_x = 1, 5
+    in_chans = c_a + 2 * c_x
+    ref_net = ref_module.DiffuseSG(
+        img_size=n, patch_size=1, in_chans=in_chans, embed_dim=embed_dim,
+        depths=depths, num_heads=heads, window_size=window,
+        drop_path_rate=0.0, out_chans_adj=c_a, out_chans_node=c_x,
+        self_condition=False, symmetric_noise=False).eval()
+    ref_precond = precond_mod.NodeAdjPrecond(
+        precond="edm", model=ref_net, self_condition=False,
+        symmetric_noise=False).eval()
+
+    model = DiffuseSG(img_size=n, patch_size=1, in_chans=in_chans,
+                      embed_dim=embed_dim, depths=tuple(depths),
+                      num_heads=tuple(heads), window_size=window,
+                      out_chans_adj=c_a, out_chans_node=c_x,
+                      self_condition=False, symmetric_noise=False)
+    import jax.numpy as jnp
+    params = _transfer(ref_net.state_dict(), depths, patch_size=1)
+    params = jax.tree.map(jnp.asarray, params)
+
+    rs = np.random.RandomState(3)
+    b = 2
+    adj = rs.randn(b, n, n).astype(np.float32)
+    node = rs.randn(b, n, c_x).astype(np.float32)
+    flags = np.ones((b, n), dtype=bool)
+    flags[1, 9:] = False
+    sigmas = np.asarray([0.3, 2.5], np.float32)
+
+    with torch.no_grad():
+        ref_a, ref_x = ref_precond(
+            torch.from_numpy(adj), torch.from_numpy(node),
+            torch.from_numpy(flags), torch.from_numpy(sigmas))
+
+    def denoiser_fn(a, x, f, c_noise, sc_a, sc_x):
+        return model.apply(params, a, x, f, c_noise, sc_a, sc_x)
+
+    got_a, got_x = precond_forward(denoiser_fn, "edm", jnp.asarray(adj),
+                                   jnp.asarray(node), jnp.asarray(flags),
+                                   jnp.asarray(sigmas))
+    np.testing.assert_allclose(np.asarray(got_a), ref_a.numpy(), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_x), ref_x.numpy(), atol=2e-4, rtol=1e-3)
