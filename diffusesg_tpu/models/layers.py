@@ -206,9 +206,9 @@ class SwinBlock(nn.Module):
         xs = x.reshape(b, h, w, c).astype(self.dtype)
         if shift > 0:
             xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
-        # the fused kernel wins when there are enough windows to pipeline;
-        # at full-grid stages (1 window/image) the XLA path is faster
-        use_pallas = self.use_pallas and (h // window) * (w // window) >= 4
+        # per-config control: COCO-shaped models (small window grids) ship
+        # with use_pallas=False; VG keeps the fused kernels at every stage
+        use_pallas = self.use_pallas
         fn = fused_swin_attn_block if use_pallas else swin_attn_block_xla
         if use_pallas:
             out = fn(xs, scale_shift.astype(self.dtype), ln_gamma, ln_beta,
