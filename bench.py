@@ -42,7 +42,7 @@ def main():
     from diffusesg_tpu.sampling import get_mc_sampler
 
     steps = int(os.environ.get("BENCH_STEPS", 1000))
-    batch = int(os.environ.get("BENCH_BATCH", 128))
+    batch = int(os.environ.get("BENCH_BATCH", 64))  # 128 at 1000 steps exceeds the device watchdog (~90s single scan)
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     backend = jax.default_backend()
