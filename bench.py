@@ -42,7 +42,11 @@ def main():
     from diffusesg_tpu.sampling import get_mc_sampler
 
     steps = int(os.environ.get("BENCH_STEPS", 1000))
-    batch = int(os.environ.get("BENCH_BATCH", 64))  # 128 at 1000 steps exceeds the device watchdog (~90s single scan)
+    # batch 64 keeps the single 1000-step scan under the tunneled backend's
+    # device watchdog (~60-90 s); BENCH_CHUNK>0 enables chunked sampling for
+    # larger batches (correct but pays ~20 s/chunk dispatch overhead here)
+    batch = int(os.environ.get("BENCH_BATCH", 64))
+    chunk = int(os.environ.get("BENCH_CHUNK", 0)) or None
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     backend = jax.default_backend()
@@ -66,7 +70,11 @@ def main():
         return precond_forward(model_fn, "edm", a, x, flags, sigmas, sc_a, sc_x)
 
     # joint node+edge+bbox: ddpm encoding -> 5 node channels, 1 edge channel
-    fn = jax.jit(lambda rng: sampler.sample(denoiser, rng, flags, 5, 1))
+    if chunk:
+        fn = lambda rng: sampler.sample(denoiser, rng, flags, 5, 1,
+                                        chunk_steps=chunk)
+    else:
+        fn = jax.jit(lambda rng: sampler.sample(denoiser, rng, flags, 5, 1))
 
     import numpy as np
 

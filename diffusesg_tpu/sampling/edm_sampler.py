@@ -244,8 +244,15 @@ class NodeAdjEDMSampler:
     def sample(self, denoiser_fn: DenoiserFn, rng: jax.Array, node_flags: jax.Array,
                num_node_chan: int, num_edge_chan: int,
                init_adjs: jax.Array | None = None, init_nodes: jax.Array | None = None,
-               num_interim: int = 0, inpaint: dict | None = None):
+               num_interim: int = 0, inpaint: dict | None = None,
+               chunk_steps: int | None = None):
         """Run the full reverse diffusion; returns (adjs, nodes[, interim]).
+
+        ``chunk_steps`` splits the scan into sequential device programs of at
+        most that many steps (call UNJITTED): long single-program scans can
+        trip device watchdogs on tunneled/serving deployments, and chunking
+        also gives natural preemption/progress points.  Each chunk is one
+        jitted scan; the carry threads through on device.
 
         ``denoiser_fn`` is the preconditioned model
         (adjs, nodes, sigmas[B], sc_a, sc_x) -> (D_adj, D_node); for the
@@ -399,8 +406,16 @@ class NodeAdjEDMSampler:
         zeros_x = jnp.zeros_like(nodes0)
         carry0 = (adjs0, nodes0, zeros_a, zeros_x, rng, interim_a, interim_x)
         steps = jnp.arange(self.num_steps)
-        (adjs, nodes, _, _, rng_out, interim_a, interim_x), _ = jax.lax.scan(
-            step, carry0, (steps, coefs))
+
+        if chunk_steps is None or chunk_steps >= self.num_steps:
+            carry, _ = jax.lax.scan(step, carry0, (steps, coefs))
+        else:
+            run_chunk = jax.jit(lambda c, xs: jax.lax.scan(step, c, xs)[0])
+            carry = carry0
+            for start in range(0, self.num_steps, chunk_steps):
+                end = min(start + chunk_steps, self.num_steps)
+                carry = run_chunk(carry, (steps[start:end], coefs[start:end]))
+        adjs, nodes, _, _, rng_out, interim_a, interim_x = carry
         if inpaint_cfg:
             # carry the exact known values in the final output
             adjs, nodes = _apply_inpaint(adjs, nodes, 0.0, rng_out)

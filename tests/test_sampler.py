@@ -178,3 +178,18 @@ def test_conditional_completion_inpainting(rng):
     np.testing.assert_allclose(np.asarray(nodes)[mx], np.asarray(gt_nodes)[mx], atol=1e-6)
     # unknown entries come from the model, not the GT
     assert not np.allclose(np.asarray(adjs)[~ma], np.asarray(gt_adjs)[~ma])
+
+
+def test_chunked_sampling_matches_monolithic(rng):
+    """chunk_steps must be numerically identical to the single-scan path."""
+    flags = jnp.ones((2, 8), dtype=bool)
+    samp = _sampler(num_steps=12)
+
+    def denoiser(a, x, sigmas, sc_a, sc_x):
+        return jnp.tanh(a), jnp.tanh(x)
+
+    mono = samp.sample(denoiser, rng, flags, num_node_chan=3, num_edge_chan=1)
+    chunked = samp.sample(denoiser, rng, flags, num_node_chan=3, num_edge_chan=1,
+                          chunk_steps=5)
+    np.testing.assert_allclose(np.asarray(mono[0]), np.asarray(chunked[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mono[1]), np.asarray(chunked[1]), atol=1e-6)
