@@ -10,7 +10,6 @@ step covering sigma sampling -> noising -> forward -> loss.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import NamedTuple
 
 import jax

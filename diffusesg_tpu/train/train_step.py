@@ -10,8 +10,7 @@ gradient all-reduce is inserted by XLA (no NCCL/DDP analogue needed).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
