@@ -14,6 +14,11 @@ import numpy as np
 
 
 def main(argv=None):
+    # multi-host bootstrap FIRST: must precede any device use
+    # (reference rendezvous analogue: dist_training.py:100-126)
+    from ..parallel.distributed import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     from .common import build_eval_parser, find_eval_config
     from ..config import load_config
     from ..data import load_data

@@ -2,8 +2,9 @@
 
 Counterpart of the reference train entry (reference: DiffuseSG/train.py:77-120):
 init basics -> load data -> build model/optimizer/EMAs/loss/sampler -> train.
-On multi-host TPU pods, launch one process per host (jax.distributed
-initializes from the TPU environment; no torchrun analogue needed).
+On multi-host TPU pods, launch one process per host; the rendezvous is
+jax.distributed.initialize (parallel/distributed.py), honoring the same
+torchrun/OMPI env vars the reference reads (dist_training.py:100-126).
 """
 from __future__ import annotations
 
@@ -13,6 +14,10 @@ import jax
 
 
 def main(argv=None):
+    # multi-host bootstrap FIRST: must precede any device use
+    from ..parallel.distributed import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     from .common import build_train_parser, config_from_args
     from ..data import load_data
     from ..models import build_model, count_params

@@ -22,22 +22,31 @@ def dataset_constants(dataset_name: str):
     raise NotImplementedError(f"unknown scene-graph dataset {dataset_name}")
 
 
+def _encoded_channels(encoding: str, raw_num_type: int) -> int:
+    if encoding == "one_hot":
+        return raw_num_type
+    if encoding == "bits":
+        return int(math.ceil(math.log2(raw_num_type)))
+    if encoding == "ddpm":
+        return 1
+    raise NotImplementedError(f"unknown encoding {encoding}")
+
+
 def get_node_adj_num_type(dataset_name: str, flag_sg: bool, encoding: str,
-                          flag_node_only: bool = False, flag_node_bbox: bool = True) -> dict:
-    """Per-encoding channel counts (reference: sg_utils.py:348-409)."""
+                          flag_node_only: bool = False, flag_node_bbox: bool = True,
+                          edge_encoding: str | None = None) -> dict:
+    """Per-encoding channel counts (reference: sg_utils.py:348-409).
+
+    ``edge_encoding`` supports node_encoding != edge_encoding configs (the
+    reference keeps separate config keys and independent decode paths,
+    sampler_node_adj.py:221-293); None means same encoding for both.
+    """
     if not flag_sg:
         raise NotImplementedError("only scene-graph datasets are supported")
     raw_num_node_type, raw_num_adj_type, num_allowed_nodes = dataset_constants(dataset_name)
 
-    if encoding == "one_hot":
-        num_node_type, num_adj_type = raw_num_node_type, raw_num_adj_type
-    elif encoding == "bits":
-        num_node_type = int(math.ceil(math.log2(raw_num_node_type)))
-        num_adj_type = int(math.ceil(math.log2(raw_num_adj_type)))
-    elif encoding == "ddpm":
-        num_node_type, num_adj_type = 1, 1
-    else:
-        raise NotImplementedError(f"unknown encoding {encoding}")
+    num_node_type = _encoded_channels(encoding, raw_num_node_type)
+    num_adj_type = _encoded_channels(edge_encoding or encoding, raw_num_adj_type)
 
     if flag_node_only:
         in_chans_node = 2
@@ -76,6 +85,7 @@ def get_node_adj_model_input_output_channels(config):
     """Model-facing channel counts (reference: sg_utils.py:412-430)."""
     info = get_node_adj_num_type(
         config.dataset.name, config.flag_sg, config.train.node_encoding,
-        flag_node_only=config.train.get("node_only", False))
+        flag_node_only=config.train.get("node_only", False),
+        edge_encoding=config.train.edge_encoding)
     in_chans = info["in_chans_node"] + info["in_chans_adj"]
     return in_chans, info["out_chans_adj"], info["out_chans_node"]

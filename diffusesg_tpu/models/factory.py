@@ -51,7 +51,8 @@ def example_inputs(config, batch_size: int = 2):
     from .channels import get_node_adj_num_type
     info = get_node_adj_num_type(config.dataset.name, config.flag_sg,
                                  config.train.node_encoding,
-                                 flag_node_only=config.train.get("node_only", False))
+                                 flag_node_only=config.train.get("node_only", False),
+                                 edge_encoding=config.train.edge_encoding)
     n = config.dataset.max_node_num
     c_a = info["in_chans_adj"]
     c_x = info["in_chans_node"] // 2

@@ -21,6 +21,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+INTERPRET = False  # tests flip this to run the Pallas kernel on CPU (interpret)
+
+
 def _layer_norm(x, gamma, beta, eps=1e-6):
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
@@ -45,7 +48,7 @@ def _erf_gelu(x):
 
 
 def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
-    x = x_ref[0]  # [T, C]
+    x = x_ref[:]  # [T, C] tile of the flattened (batch * tokens) axis
     h = _layer_norm(x.astype(jnp.float32), g_ref[0].astype(jnp.float32),
                     b_ref[0].astype(jnp.float32)).astype(x.dtype)
     h = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
@@ -53,7 +56,7 @@ def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     h = _erf_gelu(h).astype(x.dtype)
     out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     out = out + b2_ref[0].astype(jnp.float32)
-    o_ref[0] = (x.astype(jnp.float32) + out).astype(o_ref.dtype)
+    o_ref[:] = (x.astype(jnp.float32) + out).astype(o_ref.dtype)
 
 
 @jax.custom_vjp
@@ -61,36 +64,40 @@ def fused_mlp_block(x, ln_gamma, ln_beta, w1, b1, w2, b2):
     return _fwd_impl(x, ln_gamma, ln_beta, w1, b1, w2, b2)
 
 
-def _pick_token_tile(L: int, c: int, hidden: int) -> int:
-    """Token-tile size.  Mosaic requires the sublane block dim to be a
-    multiple of 8 or equal to the full axis, so pick the largest
-    multiple-of-8 divisor of L within a ~4MB fp32-hidden budget, falling
-    back to the whole axis (e.g. L=100 at COCO's deepest stage)."""
-    best = L
+def _pick_token_tile(n: int, c: int, hidden: int) -> int:
+    """Token-tile size over the FLATTENED (batch * tokens) axis.  LayerNorm
+    and the FFN are pointwise per token, so batch packing is free — small
+    per-sample token counts (COCO 10x10 = 100, VG 8x8 = 64) no longer starve
+    the MXU.  Largest power-of-2 divisor of n within a ~4MB fp32-hidden
+    budget; 0 means no valid tile (caller falls back to XLA)."""
+    best = 0
     t = 8
-    while t <= L:
-        if L % t == 0 and t * hidden * 4 <= 4 * 1024 * 1024:
+    while t <= n:
+        if n % t == 0 and t * hidden * 4 <= 4 * 1024 * 1024:
             best = t
         t *= 2
-    if best % 8 != 0 and best != L:
-        return L
+    if best == 0 and n * hidden * 4 <= 4 * 1024 * 1024:
+        return n  # whole axis as one block (block dims == array dims)
     return best
 
 
 def _fwd_impl(x, ln_gamma, ln_beta, w1, b1, w2, b2):
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not INTERPRET:
         return mlp_block_xla(x, ln_gamma, ln_beta, w1, b1, w2, b2)
     b, L, c = x.shape
     hidden = w1.shape[1]
-    t = _pick_token_tile(L, c, hidden)
-    grid = (b, L // t)
+    n = b * L
+    t = _pick_token_tile(n, c, hidden)
+    if t == 0:
+        return mlp_block_xla(x, ln_gamma, ln_beta, w1, b1, w2, b2)
+    grid = (n // t,)
 
     vec = lambda v: v.reshape(1, -1)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, t, c), lambda bi, r: (bi, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, c), lambda r: (r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # gamma [1, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # beta [1, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1 [C, H]
@@ -98,14 +105,16 @@ def _fwd_impl(x, ln_gamma, ln_beta, w1, b1, w2, b2):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 [H, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b2 [1, C]
         ],
-        out_specs=pl.BlockSpec((1, t, c), lambda bi, r: (bi, r, 0),
+        out_specs=pl.BlockSpec((t, c), lambda r: (r, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, c), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=b * L * c * hidden * 4,
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=b * L * hidden),
-    )(x, vec(ln_gamma), vec(ln_beta), w1, vec(b1), w2, vec(b2))
+        interpret=INTERPRET,
+    )(x.reshape(n, c), vec(ln_gamma), vec(ln_beta), w1, vec(b1), w2, vec(b2))
+    return out.reshape(b, L, c)
 
 
 def _fwd(x, ln_gamma, ln_beta, w1, b1, w2, b2):

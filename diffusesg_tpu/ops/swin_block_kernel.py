@@ -30,6 +30,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+INTERPRET = False  # tests flip this to run the Pallas kernel on CPU (interpret)
+
+
 def _layer_norm(x, gamma, beta, eps=1e-6):
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
@@ -79,58 +82,68 @@ def swin_attn_block_xla(x, scale_shift, ln_gamma, ln_beta, wqkv, bqkv,
 
 
 def _kernel(x_ref, ss_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
-            bproj_ref, relb_ref, mask_ref, o_ref, *, window, num_heads, n_win):
-    """One (batch, window-row) program over a [1, window, W, C] tile."""
+            bproj_ref, relb_ref, mask_ref, o_ref, *, window, num_heads,
+            n_win, rb):
+    """One program over a [rb, window, W, C] tile: ``rb`` batch elements of
+    one window-row each.  Packing batch elements per program keeps the qkv /
+    proj matmuls MXU-sized when the window grid is small (COCO's 20x20 and
+    10x10 stages, VG's deepest stage)."""
     c = x_ref.shape[-1]
+    wdim = x_ref.shape[2]
     L = window * window
+    T = window * wdim  # tokens per batch element in this tile
     nh, hd = num_heads, c // num_heads
     att_scale = hd ** -0.5
 
-    x = x_ref[0]  # [window, W, C]
-    ss = ss_ref[0, 0].astype(jnp.float32)  # [2C]
-    scale = ss[:c]
-    shift = ss[c:]
-    a = jax.nn.silu(shift + x.astype(jnp.float32) * (scale + 1.0))
+    x = x_ref[:]  # [rb, window, W, C]
+    ss = ss_ref[:, 0].astype(jnp.float32)  # [rb, 2C]
+    scale = ss[:, None, :c]
+    shift = ss[:, None, c:]
+    xf = x.reshape(rb, T, c).astype(jnp.float32)
+    a = jax.nn.silu(shift + xf * (scale + 1.0))  # [rb, T, C]
     hn = _layer_norm(a, g_ref[0].astype(jnp.float32), b_ref[0].astype(jnp.float32))
 
-    # one row-wide qkv matmul: [window * W, C] @ [C, 3C]
-    flat = hn.reshape(window * x.shape[1], c).astype(x.dtype)
+    # ONE packed qkv matmul: [rb * T, C] @ [C, 3C]
+    flat = hn.reshape(rb * T, c).astype(x.dtype)
     qkv = jnp.dot(flat, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = qkv + bqkv_ref[0].astype(jnp.float32)
-    qkv = qkv.reshape(window, x.shape[1], 3 * c).astype(x.dtype)
+    qkv = qkv.reshape(rb, window, wdim, 3 * c).astype(x.dtype)
 
     rel = relb_ref[:].astype(jnp.float32)  # [nH, L, L]
 
-    outs = []
-    for wi in range(n_win):  # static unroll over windows in the row
-        blk = qkv[:, wi * window:(wi + 1) * window, :].reshape(L, 3 * c)
-        head_outs = []
-        for hh in range(nh):  # static unroll over heads (lane slices: Mosaic
-            # cannot reshape the lane dim into [nh, hd])
-            q_h = blk[:, hh * hd:(hh + 1) * hd]
-            k_h = blk[:, c + hh * hd:c + (hh + 1) * hd]
-            v_h = blk[:, 2 * c + hh * hd:2 * c + (hh + 1) * hd]
-            scores = jax.lax.dot_general(
-                (q_h.astype(jnp.float32) * att_scale).astype(x.dtype), k_h,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [L, L]
-            scores = scores + rel[hh]
-            if mask_ref is not None:
-                scores = scores + mask_ref[wi].astype(jnp.float32)
-            scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-            p = jnp.exp(scores)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            head_outs.append(jax.lax.dot_general(
-                p.astype(x.dtype), v_h,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))  # [L, hd]
-        outs.append(jnp.concatenate(head_outs, axis=-1))  # [L, C]
-    attn = jnp.stack(outs, axis=0).reshape(n_win, window, window, c)
-    attn = attn.transpose(1, 0, 2, 3).reshape(window * x.shape[1], c)
+    attn_rows = []
+    for rbi in range(rb):  # static unroll over packed batch elements
+        outs = []
+        for wi in range(n_win):  # static unroll over windows in the row
+            blk = qkv[rbi, :, wi * window:(wi + 1) * window, :].reshape(L, 3 * c)
+            head_outs = []
+            for hh in range(nh):  # static unroll over heads (lane slices:
+                # Mosaic cannot reshape the lane dim into [nh, hd])
+                q_h = blk[:, hh * hd:(hh + 1) * hd]
+                k_h = blk[:, c + hh * hd:c + (hh + 1) * hd]
+                v_h = blk[:, 2 * c + hh * hd:2 * c + (hh + 1) * hd]
+                scores = jax.lax.dot_general(
+                    (q_h.astype(jnp.float32) * att_scale).astype(x.dtype), k_h,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [L, L]
+                scores = scores + rel[hh]
+                if mask_ref is not None:
+                    scores = scores + mask_ref[wi].astype(jnp.float32)
+                scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp(scores)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                head_outs.append(jax.lax.dot_general(
+                    p.astype(x.dtype), v_h,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))  # [L, hd]
+            outs.append(jnp.concatenate(head_outs, axis=-1))  # [L, C]
+        row = jnp.stack(outs, axis=0).reshape(n_win, window, window, c)
+        attn_rows.append(row.transpose(1, 0, 2, 3).reshape(T, c))
+    attn = jnp.stack(attn_rows, axis=0).reshape(rb * T, c)
     proj = jnp.dot(attn.astype(x.dtype), wproj_ref[:],
                    preferred_element_type=jnp.float32) + bproj_ref[0].astype(jnp.float32)
-    out = a.reshape(window * x.shape[1], c) + proj
-    o_ref[0] = out.reshape(window, x.shape[1], c).astype(o_ref.dtype)
+    out = a.reshape(rb * T, c) + proj
+    o_ref[:] = out.reshape(rb, window, wdim, c).astype(o_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
@@ -140,24 +153,41 @@ def fused_swin_attn_block(x, scale_shift, ln_gamma, ln_beta, wqkv, bqkv,
                      bproj, rel_bias, mask, num_heads, window)
 
 
+def _pick_batch_pack(b: int, window: int, w: int, c: int, num_heads: int,
+                     n_win: int) -> int:
+    """Batch elements per program.  Grow rb (power-of-2 divisor of b) until
+    the packed qkv/proj matmuls reach ~1024 rows — small window grids (COCO
+    20x20/10x10, VG 8x8) otherwise starve the MXU — bounded by a ~6MB VMEM
+    activation budget and a static-unroll cap on the attention loops."""
+    T = window * w
+    rb = 1
+    while (rb * 2 <= b and b % (rb * 2) == 0
+           and rb * T < 1024
+           and (rb * 2) * T * c * 14 <= 6 * 1024 * 1024
+           and (rb * 2) * n_win * num_heads <= 384):
+        rb *= 2
+    return rb
+
+
 def _fwd_impl(x, scale_shift, ln_gamma, ln_beta, wqkv, bqkv, wproj, bproj,
               rel_bias, mask, num_heads, window):
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not INTERPRET:
         return swin_attn_block_xla(x, scale_shift, ln_gamma, ln_beta, wqkv,
                                    bqkv, wproj, bproj, rel_bias, mask,
                                    num_heads, window)
     b, h, w, c = x.shape
     n_win = w // window
     L = window * window
-    grid = (b, h // window)
+    rb = _pick_batch_pack(b, window, w, c, num_heads, n_win)
+    grid = (b // rb, h // window)
 
     # TPU tiling: vectors become [1, D] rows; scale_shift gets a unit middle
     # axis so its (sublane, lane) block dims equal the array dims
     ss3 = scale_shift.reshape(b, 1, 2 * c)
     in_specs = [
-        pl.BlockSpec((1, window, w, c), lambda bi, r: (bi, r, 0, 0),
+        pl.BlockSpec((rb, window, w, c), lambda bi, r: (bi, r, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 2 * c), lambda bi, r: (bi, 0, 0),
+        pl.BlockSpec((rb, 1, 2 * c), lambda bi, r: (bi, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_gamma [1, C]
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_beta [1, C]
@@ -178,11 +208,11 @@ def _fwd_impl(x, scale_shift, ln_gamma, ln_beta, wqkv, bqkv, wproj, bproj,
 
         def kernel(x_r, ss_r, g_r, b_r, wq_r, bq_r, wp_r, bp_r, rb_r, m_r, o_r):
             _kernel(x_r, ss_r, g_r, b_r, wq_r, bq_r, wp_r, bp_r, rb_r, m_r[0],
-                    o_r, window=window, num_heads=num_heads, n_win=n_win)
+                    o_r, window=window, num_heads=num_heads, n_win=n_win, rb=rb)
     else:
         def kernel(x_r, ss_r, g_r, b_r, wq_r, bq_r, wp_r, bp_r, rb_r, o_r):
             _kernel(x_r, ss_r, g_r, b_r, wq_r, bq_r, wp_r, bp_r, rb_r, None,
-                    o_r, window=window, num_heads=num_heads, n_win=n_win)
+                    o_r, window=window, num_heads=num_heads, n_win=n_win, rb=rb)
 
     flops_est = b * h * w * c * (3 * c + c) * 2 + b * (h // window) * (w // window) * (
         2 * L * L * c) * 2
@@ -190,12 +220,13 @@ def _fwd_impl(x, scale_shift, ln_gamma, ln_beta, wqkv, bqkv, wproj, bproj,
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, window, w, c), lambda bi, r: (bi, r, 0, 0),
+        out_specs=pl.BlockSpec((rb, window, w, c), lambda bi, r: (bi, r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         cost_estimate=pl.CostEstimate(flops=flops_est,
                                       bytes_accessed=2 * x.size * x.dtype.itemsize,
                                       transcendentals=b * h * w * c),
+        interpret=INTERPRET,
     )(*args)
 
 

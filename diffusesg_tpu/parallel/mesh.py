@@ -41,24 +41,31 @@ def batch_sharding(mesh: Mesh, ndim: int = 1, axis_name: str = "data") -> NamedS
 
 
 def zero1_sharding(pytree: Any, mesh: Mesh, axis_name: str = "data") -> Any:
-    """ZeRO-1-style sharding spec: shard each leaf along its first axis
-    divisible by the mesh size; replicate leaves with no such axis.
+    """ZeRO-1-style sharding spec with an EXPLICIT axis rule: each leaf is
+    sharded along its LARGEST axis divisible by the mesh size (ties broken by
+    the lowest axis index); leaves with no such axis are replicated.
 
-    Applied to optimizer moments and EMA copies this reproduces what the
-    reference gets from ZeroRedundancyOptimizer (learning_utils.py:130-135),
-    except it also covers the K EMA copies.
+    Largest-divisible-axis is deterministic, balances shard sizes, and for
+    the stacked-[K, ...] EMA pytree picks the same (parameter) axis on every
+    leaf of a given kernel shape regardless of K, instead of depending on
+    whether K happens to divide the mesh.  Applied to optimizer moments and
+    EMA copies this reproduces what the reference gets from
+    ZeroRedundancyOptimizer (learning_utils.py:130-135), plus the K EMAs.
     """
     size = mesh.shape[axis_name]
 
     def _spec(leaf):
         if not hasattr(leaf, "shape") or leaf.ndim == 0:
             return NamedSharding(mesh, P())
+        best_axis, best_dim = None, 0
         for axis, dim in enumerate(leaf.shape):
-            if dim % size == 0 and dim >= size:
-                spec = [None] * leaf.ndim
-                spec[axis] = axis_name
-                return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
+            if dim % size == 0 and dim >= size and dim > best_dim:
+                best_axis, best_dim = axis, dim
+        if best_axis is None:
+            return NamedSharding(mesh, P())
+        spec = [None] * leaf.ndim
+        spec[best_axis] = axis_name
+        return NamedSharding(mesh, P(*spec))
 
     return jax.tree.map(_spec, pytree)
 

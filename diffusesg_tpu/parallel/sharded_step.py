@@ -68,3 +68,28 @@ def make_sharded_train_step(train_step: Callable, state: TrainState, mesh: Mesh,
     return jax.jit(train_step, in_shardings=in_shardings,
                    out_shardings=out_shardings,
                    donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_eval_step(eval_step: Callable, mesh: Mesh,
+                           axis_name: str = "data", adj_ndim: int = 3,
+                           node_ndim: int = 3, flags_ndim: int = 2) -> Callable:
+    """jit the test-pass step data-parallel over the mesh.
+
+    Signature of ``eval_step``: (params, rng, adjs, nodes, flags) -> metrics.
+    Params/rng replicated, batch sharded — the trainer's periodic test pass
+    then uses every local device like the reference's DDP test epoch
+    (trainer_node_adj.py:238-254) instead of idling all but chip 0.
+    """
+    repl = replicated(mesh)
+
+    def _batch_sh(ndim):
+        return batch_sharding(mesh, ndim, axis_name)
+
+    in_shardings = (None, repl, _batch_sh(adj_ndim), _batch_sh(node_ndim),
+                    _batch_sh(flags_ndim))
+    metrics_sh = {"loss": repl, "loss_adj": repl, "loss_node": repl,
+                  "loss_adj_per_sample": _batch_sh(1),
+                  "loss_node_per_sample": _batch_sh(1),
+                  "sigmas": _batch_sh(1)}
+    return jax.jit(eval_step, in_shardings=in_shardings,
+                   out_shardings=metrics_sh)

@@ -33,25 +33,56 @@ from .edm_sampler import NodeAdjEDMSampler
 
 def make_sample_fn(model, params, sampler: NodeAdjEDMSampler,
                    num_node_chan: int, num_edge_chan: int,
-                   sanity_check: bool = False):
-    """Build a jittable (rng, node_flags[, gt_a, gt_x]) -> (adjs, nodes) fn."""
+                   sanity_check: bool = False, precond: str = "edm",
+                   num_interim: int = 0, mesh=None):
+    """Build a jittable (rng, node_flags[, gt_a, gt_x]) -> (adjs, nodes) fn.
+
+    ``precond`` selects the preconditioning family (config.mcmc.precond;
+    reference wires it through get_mc_sampler/objective construction).
+    ``num_interim`` > 0 additionally returns evenly-spaced interim snapshot
+    stacks (reference: max_num_interim_adjs=10, sampler_node_adj.py:86).
+
+    ``mesh`` enables data-parallel sampling over every addressable device:
+    params are replicated, the batch axis is sharded with NamedSharding and
+    XLA runs the whole reverse diffusion SPMD — the TPU-native counterpart of
+    the reference's DDP eval sharding (sampler_node_adj.py:331-345 +
+    DistributedSampler, dataloader.py:26-29).
+    """
+    if mesh is not None:
+        from ..parallel.mesh import replicate_tree
+        params = replicate_tree(params, mesh)
+
     if sanity_check:
         # GT-as-denoiser fixture (reference: edm.py:375-377)
         def sample_fn(rng, node_flags, gt_a, gt_x):
             def gt_denoiser(a, x, sigmas, sc_a, sc_x):
                 return gt_a.astype(jnp.float32), gt_x.astype(jnp.float32)
             return sampler.sample(gt_denoiser, rng, node_flags,
-                                  num_node_chan, num_edge_chan)
+                                  num_node_chan, num_edge_chan,
+                                  num_interim=num_interim)
+        n_in = 4
     else:
         def sample_fn(rng, node_flags):
             def denoiser(a, x, sigmas, sc_a, sc_x):
                 def model_fn(aa, xx, flags, c_noise, s_a, s_x):
                     return model.apply(params, aa, xx, flags, c_noise, s_a, s_x)
-                return precond_forward(model_fn, "edm", a, x, node_flags, sigmas,
+                return precond_forward(model_fn, precond, a, x, node_flags, sigmas,
                                        sc_a, sc_x)
             return sampler.sample(denoiser, rng, node_flags,
-                                  num_node_chan, num_edge_chan)
-    return jax.jit(sample_fn)
+                                  num_node_chan, num_edge_chan,
+                                  num_interim=num_interim)
+        n_in = 2
+
+    if mesh is None:
+        return jax.jit(sample_fn)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    batch0 = NamedSharding(mesh, P("data"))   # batch-major arrays
+    batch1 = NamedSharding(mesh, P(None, "data"))  # interim [T+1, B, ...]
+    in_sh = (repl,) + (batch0,) * (n_in - 1)
+    out_sh = (batch0, batch0) if num_interim <= 0 else (batch0, batch0, batch1, batch1)
+    return jax.jit(sample_fn, in_shardings=in_sh, out_shardings=out_sh)
 
 
 def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
@@ -71,11 +102,11 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
     flag_bbox = True
     node_encoding = config.train.node_encoding
     edge_encoding = config.train.edge_encoding
-    assert node_encoding == edge_encoding
 
     info = get_node_adj_num_type(config.dataset.name, flag_sg=True,
                                  encoding=node_encoding,
-                                 flag_node_only=flag_node_only, flag_node_bbox=flag_bbox)
+                                 flag_node_only=flag_node_only, flag_node_bbox=flag_bbox,
+                                 edge_encoding=edge_encoding)
     raw_num_node_type = info["raw_num_node_type"]
     raw_num_adj_type = info["raw_num_adj_type"]
     num_node_type = info["num_node_type"]
@@ -100,11 +131,35 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
         batch_size = config.train.batch_size
     total_samples = min(len(test_data), total_samples)
     eval_set = split_eval_set(test_data, total_samples, seed=config.seed)
-    logging.info("sampling %d graphs (batch %d)", total_samples, batch_size)
+
+    # data-parallel sampling mesh over all addressable devices (the reference
+    # shards eval across DDP ranks, sampler_node_adj.py:331-345; here one
+    # process drives every local chip via NamedSharding)
+    from ..parallel.mesh import batch_sharding, make_mesh
+    mesh = make_mesh(config.tpu.get("num_devices", 0) if "tpu" in config else 0)
+    batch_size = -(-batch_size // mesh.size) * mesh.size
+    logging.info("sampling %d graphs (batch %d, %d device(s))",
+                 total_samples, batch_size, mesh.size)
+
+    def _pad(a: np.ndarray) -> np.ndarray:
+        """Repeat-pad to the full batch: keeps the compiled shape static and
+        divisible by the mesh (outputs are trimmed back to the real count)."""
+        if len(a) == batch_size:
+            return a
+        reps = -(-batch_size // len(a))
+        return np.concatenate([a] * reps, 0)[:batch_size]
+
+    def _put(a: np.ndarray):
+        return jax.device_put(a, batch_sharding(mesh, np.asarray(a).ndim))
 
     rng = jax.random.PRNGKey(config.seed + epoch) if rng is None else rng
+    # interim snapshot cap mirrors the reference (sampler_node_adj.py:85-86)
+    num_interim = min(int(config.test.get("num_interim", 10)),
+                      mc_sampler.num_steps)
     sample_fn = make_sample_fn(model, params, mc_sampler, num_node_type,
-                               num_adj_type, sanity_check)
+                               num_adj_type, sanity_check,
+                               precond=config.mcmc.get("precond", "edm"),
+                               num_interim=num_interim, mesh=mesh)
     decode_fn = jax.jit(partial(
         decode_samples, node_encoding=node_encoding, edge_encoding=edge_encoding,
         num_node_type=raw_num_node_type,
@@ -113,7 +168,7 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
 
     out = {"q_adj": [], "q_node": [], "bbox": [], "flags": [], "flags_gt": [],
            "q_adj_gt": [], "q_node_gt": [], "bbox_gt": [], "image_ids": [],
-           "raw_a": [], "raw_x": []}
+           "raw_a": [], "raw_x": [], "interim_a": [], "interim_x": []}
     num_nodes_pool = np.asarray([len(g["node_labels"]) for g in test_data.pkl_data]) \
         if test_data.pkl_data else None
 
@@ -121,12 +176,14 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
     n_batches = -(-len(eval_set) // batch_size)
     for bi in range(n_batches):
         sl = slice(bi * batch_size, (bi + 1) * batch_size)
-        adjs_gt = jnp.asarray(eval_set.adjs[sl])
-        nodes_gt = jnp.asarray(eval_set.nodes[sl])
-        flags = np.asarray(eval_set.node_flags[sl])
+        n_real = len(eval_set.adjs[sl])
+        adjs_gt = _put(_pad(eval_set.adjs[sl]))
+        nodes_gt = _put(_pad(eval_set.nodes[sl]))
+        flags = _pad(np.asarray(eval_set.node_flags[sl]))
+        flags_j = _put(flags)
         image_ids = eval_set.image_ids[sl]
 
-        if node_encoding == "one_hot":
+        if "one_hot" in (node_encoding, edge_encoding):
             # deferred one-hot encoding (reference: sampler_node_adj.py:116-139)
             from ..train.train_step import TrainStepConfig, encode_one_hot_batch
             enc_cfg = TrainStepConfig(
@@ -135,7 +192,7 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
                 num_node_type=raw_num_node_type,
                 num_edge_type=(2 if flag_binary_edge else raw_num_adj_type))
             adjs_gt, nodes_gt = encode_one_hot_batch(
-                adjs_gt, nodes_gt, jnp.asarray(flags), enc_cfg)
+                adjs_gt, nodes_gt, flags_j, enc_cfg)
 
         if random_node_num and num_nodes_pool is not None and flags.ndim == 2:
             # resample node counts from the empirical distribution
@@ -147,19 +204,35 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
                 sample_flags[i, :c] = True
         else:
             sample_flags = flags
-        sample_flags_j = jnp.asarray(sample_flags)
+        sample_flags_j = _put(sample_flags)
+
+        def _app(key, arr, dtype=None):
+            """Append an output, trimmed back to the batch's real count."""
+            a = np.asarray(arr)[:n_real]
+            out[key].append(a.astype(dtype) if dtype is not None else a)
 
         rng, sub = jax.random.split(rng)
         if sanity_check:
-            adjs, nodes = sample_fn(sub, sample_flags_j, adjs_gt, nodes_gt)
+            res_t = sample_fn(sub, sample_flags_j, adjs_gt, nodes_gt)
         else:
-            adjs, nodes = sample_fn(sub, sample_flags_j)
+            res_t = sample_fn(sub, sample_flags_j)
+        if num_interim > 0:
+            adjs, nodes, interim_a, interim_x = res_t
+            # keep a handful per batch (batch-major [b, T+1, ...] so the
+            # host-gather/concat below treats them like every other tensor):
+            # the reference holds all snapshots in memory but never persists
+            # them; we save a small slice to the npz instead
+            keep = min(8, n_real)
+            out["interim_a"].append(np.swapaxes(np.asarray(interim_a[:, :keep]), 0, 1))
+            out["interim_x"].append(np.swapaxes(np.asarray(interim_x[:, :keep]), 0, 1))
+        else:
+            adjs, nodes = res_t
 
         dec = decode_fn(adjs, nodes, sample_flags_j)
-        dec_gt = decode_fn(adjs_gt, nodes_gt, jnp.asarray(flags))
+        dec_gt = decode_fn(adjs_gt, nodes_gt, flags_j)
 
-        out["raw_a"].append(np.asarray(adjs))
-        out["raw_x"].append(np.asarray(nodes))
+        _app("raw_a", adjs)
+        _app("raw_x", nodes)
         out["image_ids"].append(image_ids)
         if flag_node_only:
             # unpack the node attributes packed on the adj grid back to
@@ -169,29 +242,28 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
             q_node, flags_vec = reshape_node_attr_mat_to_vec(
                 dec.adj_types.astype(jnp.float32), sample_flags_j, n_allowed)
             q_node_gt, flags_gt_vec = reshape_node_attr_mat_to_vec(
-                dec_gt.adj_types.astype(jnp.float32), jnp.asarray(flags), n_allowed)
-            out["q_node"].append(np.asarray(q_node).astype(np.int64))
-            out["q_node_gt"].append(np.asarray(q_node_gt).astype(np.int64))
-            out["q_adj"].append(np.zeros((len(q_node), n_allowed, n_allowed), np.int64))
-            out["q_adj_gt"].append(np.zeros((len(q_node), n_allowed, n_allowed), np.int64))
-            out["flags"].append(np.asarray(flags_vec))
-            out["flags_gt"].append(np.asarray(flags_gt_vec))
+                dec_gt.adj_types.astype(jnp.float32), flags_j, n_allowed)
+            _app("q_node", q_node, np.int64)
+            _app("q_node_gt", q_node_gt, np.int64)
+            out["q_adj"].append(np.zeros((n_real, n_allowed, n_allowed), np.int64))
+            out["q_adj_gt"].append(np.zeros((n_real, n_allowed, n_allowed), np.int64))
+            _app("flags", flags_vec)
+            _app("flags_gt", flags_gt_vec)
             if flag_bbox:
                 bb, _ = reshape_node_attr_mat_to_vec(dec.bboxes, sample_flags_j, n_allowed)
-                bb_gt, _ = reshape_node_attr_mat_to_vec(dec_gt.bboxes,
-                                                        jnp.asarray(flags), n_allowed)
-                out["bbox"].append(np.asarray(bb))
-                out["bbox_gt"].append(np.asarray(bb_gt))
+                bb_gt, _ = reshape_node_attr_mat_to_vec(dec_gt.bboxes, flags_j, n_allowed)
+                _app("bbox", bb)
+                _app("bbox_gt", bb_gt)
         else:
-            out["q_adj"].append(np.asarray(dec.adj_types))
-            out["q_adj_gt"].append(np.asarray(dec_gt.adj_types))
-            out["flags"].append(sample_flags)
-            out["flags_gt"].append(flags)
-            out["q_node"].append(np.asarray(dec.node_types))
-            out["q_node_gt"].append(np.asarray(dec_gt.node_types))
+            _app("q_adj", dec.adj_types)
+            _app("q_adj_gt", dec_gt.adj_types)
+            _app("flags", sample_flags)
+            _app("flags_gt", flags)
+            _app("q_node", dec.node_types)
+            _app("q_node_gt", dec_gt.node_types)
             if flag_bbox:
-                out["bbox"].append(np.asarray(dec.bboxes))
-                out["bbox_gt"].append(np.asarray(dec_gt.bboxes))
+                _app("bbox", dec.bboxes)
+                _app("bbox_gt", dec_gt.bboxes)
     logging.info("sampling done in %.1fs", time.time() - t0)
 
     res = {k: np.concatenate(v, 0) for k, v in out.items() if v}
@@ -308,6 +380,10 @@ def write_artifacts(res, metrics, config, bundle, epoch, eval_mode, sanity_check
         npz_payload.update(samples_x=res["q_node"], gt_x=res["q_node_gt"])
     if "bbox" in res:
         npz_payload.update(samples_x_bbox=res["bbox"], gt_x_bbox=res["bbox_gt"])
+    if "interim_a" in res:
+        # interim denoising snapshots, batch-major [b, T+1, ...]
+        # (reference collects these per sample run, sampler_node_adj.py:166-172)
+        npz_payload.update(interim_a=res["interim_a"], interim_x=res["interim_x"])
     np.savez_compressed(os.path.join(outdir, "final_samples_array_before_eval.npz"),
                         **npz_payload)
     if skip_eval:
@@ -349,11 +425,31 @@ def write_artifacts(res, metrics, config, bundle, epoch, eval_mode, sanity_check
 
     # scene-graph visualizations (reference: sampler_node_adj.py:389-390,554-573)
     try:
-        from ..utils.visual import plot_scene_graph
+        from ..utils.visual import (plot_graphs_adj, plot_scene_graph,
+                                    plot_scene_graph_bbox)
         if "q_node" in res:
             plot_scene_graph(res["q_node"], res["q_adj"], res["flags"],
                              bundle.idx_to_word, save_dir=outdir,
                              title=f"{stamp}_{mode_tag}.png", num_plots=8)
+        if "interim_a" in res:
+            # denoising-trajectory grid for the first sample: one adjacency
+            # heatmap per interim snapshot (channel 0 if multi-channel)
+            traj = res["interim_a"][0]
+            if traj.ndim == 4:
+                traj = traj[..., 0]
+            plot_graphs_adj(traj, save_dir=outdir,
+                            title=f"interim_{stamp}_{mode_tag}.png",
+                            num_plots=len(traj))
+        # retrieval panels: generated layouts beside their best-F1 GT match
+        # (reference: sampler_node_adj.py:554-573, one panel per F1 weighting)
+        if metrics.get("_mat_f1") and "bbox" in res and "q_node" in res:
+            for name, mat in metrics["_mat_f1"].items():
+                plot_scene_graph_bbox(
+                    res["q_node"], res["bbox"], res["q_adj"],
+                    res["q_node_gt"], res["bbox_gt"], res["q_adj_gt"],
+                    mat, res["flags"], res["flags_gt"], bundle.idx_to_word,
+                    save_dir=outdir,
+                    title=f"bbox_{name}_f1_{stamp}_{mode_tag}.png", num_plots=8)
     except Exception as e:  # plotting must never kill an eval run
         logging.warning("scene-graph plotting failed: %s", e)
 

@@ -57,10 +57,33 @@ def create_train_state(params, ema_betas: Sequence[float], optimizer) -> TrainSt
                       ema_betas=betas)
 
 
-def update_emas(ema_params, params, betas):
-    """One vmapped lerp across all K EMA copies (learning_utils.py:145-166)."""
+def ema_effective_decay(betas, step):
+    """ema_pytorch's step-dependent decay schedule, for the reference's
+    constructor args EMA(beta, update_every=1, update_after_step=0,
+    inv_gamma=1, power=1) (reference: DiffuseSG/utils/learning_utils.py:160).
+
+    With ``step`` = number of completed updates before this call (our
+    TrainState.step), ema_pytorch's k-th update call (k = step + 1) applies
+      k = 1: copy (step <= update_after_step path)
+      k = 2: copy (first initted update; the follow-up lerp is a no-op)
+      k >= 3: decay = min(beta, 1 - (1 + (k - 1))**-1) = min(beta, 1 - 1/k)
+    so the effective decay ramps up over the first ~1/(1-beta) steps.
+    """
+    k = step.astype(jnp.float32) + 1.0
+    eff = jnp.minimum(betas, 1.0 - 1.0 / k)
+    return jnp.where(k <= 2.0, jnp.zeros_like(eff), eff)
+
+
+def update_emas(ema_params, params, betas, step=None):
+    """One vmapped lerp across all K EMA copies (learning_utils.py:145-166).
+
+    ``step`` enables ema_pytorch's warmup ramp (see ema_effective_decay);
+    pass None for a fixed-beta lerp.
+    """
+    eff = betas if step is None else ema_effective_decay(betas, step)
+
     def _lerp(ema_leaf, p_leaf):
-        b = betas.reshape((betas.shape[0],) + (1,) * p_leaf.ndim)
+        b = eff.reshape((eff.shape[0],) + (1,) * p_leaf.ndim).astype(ema_leaf.dtype)
         return ema_leaf * b + p_leaf[None] * (1.0 - b)
     return jax.tree.map(_lerp, ema_params, params)
 

@@ -123,7 +123,8 @@ def make_train_step(model_apply: Callable, optimizer, cfg: TrainStepConfig):
             state.params, rng, adjs_gt, nodes_gt, node_flags)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        ema_params = update_emas(state.ema_params, params, state.ema_betas)
+        ema_params = update_emas(state.ema_params, params, state.ema_betas,
+                                 step=state.step)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, ema_params=ema_params,
                                ema_betas=state.ema_betas)

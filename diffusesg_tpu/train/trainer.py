@@ -26,7 +26,9 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
     """Run the full training loop; returns the final TrainState."""
     # imported here to avoid a train <-> parallel circular import
     from ..parallel.mesh import is_main_process, make_mesh, shard_batch, sync_hosts
-    from ..parallel.sharded_step import make_sharded_train_step, shard_train_state
+    from ..parallel.sharded_step import (
+        make_sharded_eval_step, make_sharded_train_step, shard_train_state,
+    )
     from ..sampling.orchestrator import sg_go_sampling
     mesh = make_mesh(config.tpu.get("num_devices", 0) if "tpu" in config else 0)
     logging.info("training on %d device(s), %d host(s)", mesh.size, jax.process_count())
@@ -45,7 +47,10 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
         train_step, state, mesh,
         adj_ndim=bundle.train.adjs.ndim, node_ndim=bundle.train.nodes.ndim,
         flags_ndim=bundle.train.node_flags.ndim)
-    jit_eval = jax.jit(eval_step)
+    jit_eval = make_sharded_eval_step(
+        eval_step, mesh,
+        adj_ndim=bundle.train.adjs.ndim, node_ndim=bundle.train.nodes.ndim,
+        flags_ndim=bundle.train.node_flags.ndim)
 
     loss_txt = LossTxtLogger(config.logdir, enabled=is_main_process())
     lowest = {"epoch": -1, "loss": float("inf")}
@@ -66,24 +71,28 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
     for epoch in range(config.train.max_epoch):
         train_batches.set_epoch(epoch)
         t0 = time.time()
-        ep_loss_a, ep_loss_x, n_steps = 0.0, 0.0, 0
 
+        # no per-step host sync: metrics stay on device and are fetched ONCE
+        # at epoch end (the reference blocks every step via .cpu()/.item(),
+        # trainer_utils.py:36-58 — a TPU-first loop keeps the pipeline full)
+        ep_metrics = []
         for adjs, nodes, flags, _ids in train_batches:
             (adjs, nodes, flags), _ = _pad_batch((adjs, nodes, flags))
             batch = shard_batch((adjs, nodes, flags), mesh)
             rng, sub = jax.random.split(rng)
             state, metrics = sharded_step(state, sub, *batch)
-            ep_loss_a += float(metrics["loss_adj"])
-            ep_loss_x += float(metrics["loss_node"])
-            n_steps += 1
-            if is_main_process():
-                loss_txt.write("train", epoch, metrics["sigmas"],
-                               metrics["loss_adj_per_sample"],
-                               metrics["loss_node_per_sample"])
+            ep_metrics.append(metrics)
 
+        fetched = jax.device_get(ep_metrics)  # single blocking transfer
         dt = time.time() - t0
-        ep_loss_a /= max(n_steps, 1)
-        ep_loss_x /= max(n_steps, 1)
+        n_steps = len(fetched)
+        ep_loss_a = float(np.mean([m["loss_adj"] for m in fetched])) if fetched else 0.0
+        ep_loss_x = float(np.mean([m["loss_node"] for m in fetched])) if fetched else 0.0
+        if is_main_process():
+            for m in fetched:
+                loss_txt.write("train", epoch, m["sigmas"],
+                               m["loss_adj_per_sample"],
+                               m["loss_node_per_sample"])
         logging.info("epoch %05d | train loss adj %.6f node %.6f | %.1fs",
                      epoch, ep_loss_a, ep_loss_x, dt)
         if writer is not None:
@@ -94,18 +103,21 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
         # test pass + checkpointing (reference: trainer_node_adj.py:238-254)
         if epoch % save_interval == save_interval - 1 or epoch == 0:
             test_params = ema_slice(state.ema_params, 0)  # smallest beta
-            te_loss_a, te_loss_x, m = 0.0, 0.0, 0
+            test_metrics = []
             for adjs, nodes, flags, _ids in test_batches:
                 (adjs, nodes, flags), _ = _pad_batch((adjs, nodes, flags))
+                batch = shard_batch((adjs, nodes, flags), mesh)
                 rng, sub = jax.random.split(rng)
-                tm = jit_eval(test_params, sub, adjs, nodes, flags)
-                te_loss_a += float(tm["loss_adj"])
-                te_loss_x += float(tm["loss_node"])
-                m += 1
-                if is_main_process():
-                    loss_txt.write("test", epoch, tm["sigmas"],
-                                   tm["loss_adj_per_sample"],
-                                   tm["loss_node_per_sample"])
+                test_metrics.append(jit_eval(test_params, sub, *batch))
+            test_metrics = jax.device_get(test_metrics)
+            m = len(test_metrics)
+            te_loss_a = float(np.sum([t["loss_adj"] for t in test_metrics]))
+            te_loss_x = float(np.sum([t["loss_node"] for t in test_metrics]))
+            if is_main_process():
+                for t in test_metrics:
+                    loss_txt.write("test", epoch, t["sigmas"],
+                                   t["loss_adj_per_sample"],
+                                   t["loss_node_per_sample"])
             te_loss = (te_loss_a + te_loss_x) / max(m, 1)
             logging.info("epoch %05d | test loss %.6f", epoch, te_loss)
             if writer is not None:

@@ -51,3 +51,53 @@ def test_train_then_eval_cli(tiny_cfg_file, tmp_path):
     assert "node_type_mmd_gaussian" in df.columns
     assert len(df) >= 1
     assert np.isfinite(df["node_type_mmd_gaussian"].iloc[0])
+
+    # eval-side EMA-weight selection (reference: eval.py:15-40): asking for a
+    # specific beta appends exactly one row per checkpoint
+    rows_before = sum(len(pd.read_csv(p)) for p in csvs)
+    eval_cli.main(["-p", run_dir, "--eval_size", "8", "--num_steps", "4",
+                   "--data_root", "/nonexistent", "--ema_weights", "0.9"])
+    csvs2 = glob.glob(os.path.join(os.path.dirname(tiny_cfg_file), "exp",
+                                   "*", "*", "eval_results.csv"))
+    rows_after = sum(len(pd.read_csv(p)) for p in csvs2)
+    assert rows_after == rows_before + len(ckpts)
+    newest = max(csvs2, key=os.path.getmtime)
+    df2 = pd.read_csv(newest)
+    assert str(df2["weight_kw"].iloc[-1]).startswith("0.9")
+
+
+def test_checkpoint_discovery_multi_ckpt_dir(tmp_path):
+    """Eval-side ckpt search/epoch filtering against a real multi-checkpoint
+    run directory (reference: arg_parser.py:144-184)."""
+    import jax
+    import jax.numpy as jnp
+    from diffusesg_tpu.train import create_train_state, make_optimizer
+    from diffusesg_tpu.utils.checkpoint import (
+        restore_checkpoint, save_checkpoint, select_checkpoints,
+    )
+
+    opt = make_optimizer(1e-3, 1.0, 1)
+    ckpt_dir = tmp_path / "models_ckpt"
+    for epoch in [0, 2, 4, 6, 8]:
+        params = {"w": jnp.full((4,), float(epoch))}
+        state = create_train_state(params, [0.9, 0.999], opt)
+        save_checkpoint(str(ckpt_dir / f"{epoch:05d}"), state,
+                        extra={"epoch": epoch})
+
+    all_ckpts = select_checkpoints(str(ckpt_dir))
+    assert [os.path.basename(p) for p in all_ckpts] == \
+        ["00000", "00002", "00004", "00006", "00008"]
+    # range filter
+    sel = select_checkpoints(str(ckpt_dir), min_epoch=2, max_epoch=6)
+    assert [int(os.path.basename(p)) for p in sel] == [2, 4, 6]
+    # explicit epoch
+    sel = select_checkpoints(str(ckpt_dir), specify_epoch=4)
+    assert [int(os.path.basename(p)) for p in sel] == [4]
+    # count limit picks evenly spaced endpoints-inclusive
+    sel = select_checkpoints(str(ckpt_dir), num_ckpts=3)
+    assert [int(os.path.basename(p)) for p in sel] == [0, 4, 8]
+    # payload round-trips with epoch metadata + both EMA copies
+    payload = restore_checkpoint(all_ckpts[2])
+    assert payload["extra"]["epoch"] == 4
+    np.testing.assert_allclose(payload["params"]["w"], 4.0)
+    assert np.asarray(payload["ema_params"]["w"]).shape == (2, 4)

@@ -61,6 +61,19 @@ def test_encoding_train_and_sample(tmp_path, encoding):
     assert metrics["edge_type_mmd_gaussian"] < 1e-6
 
 
+@pytest.mark.parametrize("node_enc,edge_enc",
+                         [("bits", "ddpm"), ("ddpm", "one_hot")])
+def test_mixed_encodings(tmp_path, node_enc, edge_enc):
+    """node_encoding != edge_encoding (reference keeps separate config keys
+    and independent decode paths, sampler_node_adj.py:221-293)."""
+    cfg = _cfg(tmp_path, node_encoding=node_enc, edge_encoding=edge_enc)
+    cfg, bundle, model, state = _one_train_step(cfg)
+    metrics = sg_go_sampling(model, state.params, get_mc_sampler(cfg), cfg,
+                             bundle, epoch=0, sanity_check=True)
+    assert metrics["node_type_mmd_gaussian"] < 1e-6
+    assert metrics["edge_type_mmd_gaussian"] < 1e-6
+
+
 def test_binary_edge_mode(tmp_path):
     cfg = _cfg(tmp_path, binary_edge=True)
     cfg, bundle, model, state = _one_train_step(cfg)

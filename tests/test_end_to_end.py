@@ -98,6 +98,23 @@ def test_sanity_check_sampling_reproduces_gt(trained):
     assert os.path.isfile(csv)
     npzs = glob.glob(os.path.join(cfg.logdir, "sampling_during_training", "*", "*.npz"))
     assert len(npzs) >= 2
+    # interim snapshots saved (reference: max_num_interim_adjs=10,
+    # sampler_node_adj.py:85-86,166-172) and plotted
+    before = [p for p in npzs if p.endswith("before_eval.npz")][0]
+    payload = np.load(before)
+    assert "interim_a" in payload and payload["interim_a"].shape[1] == \
+        min(10, cfg.mcmc.num_steps) + 1
+    outdirs = glob.glob(os.path.join(cfg.logdir, "sampling_during_training",
+                                     "*sanity_check*"))
+    found = []
+    for d in outdirs:
+        found += os.listdir(d)
+    assert any(f.startswith("interim_") for f in found), found
+    # retrieval panels, one per F1 weighting (sampler_node_adj.py:554-573)
+    for name in ["vanilla", "area", "freq", "no_node_type"]:
+        assert any(f.startswith(f"bbox_{name}_f1_") for f in found), (name, found)
+    # full stats report emitted (sg_utils.py:9-345 counterpart)
+    assert "sg_statistics.txt" in found and "node_freq.png" in found
 
 
 def test_model_sampling_runs(trained):

@@ -50,6 +50,25 @@ def test_zero1_sharding_shards_large_leaves(devices):
     assert sh["scalar"].spec == jax.sharding.PartitionSpec()
 
 
+def test_zero1_sharding_largest_axis_rule(devices):
+    """Explicit rule: shard the LARGEST mesh-divisible axis (deterministic
+    layouts for the stacked-[K, ...] EMA leaves regardless of K)."""
+    mesh = make_mesh(8)
+    tree = {
+        # K=5 stack: K not divisible -> the 96 param axis wins
+        "ema_kernel": jnp.zeros((5, 48, 96)),
+        # both divisible: 384 > 96 -> axis 1
+        "kernel": jnp.zeros((96, 384)),
+        # K=8 divisible but 768 larger -> the param axis still wins
+        "ema_big": jnp.zeros((8, 16, 768)),
+    }
+    sh = zero1_sharding(tree, mesh)
+    P = jax.sharding.PartitionSpec
+    assert sh["ema_kernel"].spec == P(None, None, "data")
+    assert sh["kernel"].spec == P(None, "data")
+    assert sh["ema_big"].spec == P(None, None, "data")
+
+
 def test_sharded_train_step_runs(devices):
     mesh = make_mesh(8)
     model, state, step, (adjs, nodes, flags) = _setup()

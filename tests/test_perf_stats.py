@@ -37,8 +37,60 @@ def test_compute_sg_statistics(tmp_path):
         "gt_node_flags": flags,
         "gt_x_bbox": rs.rand(b, n, 4),
     }
-    summary = compute_sg_statistics(data, [], {}, str(tmp_path))
+    idx_to_word = {"ind_to_classes": [f"cls{i}" for i in range(10)],
+                   "ind_to_predicates": [f"rel{i}" for i in range(4)]}
+    summary = compute_sg_statistics(data, [], idx_to_word, str(tmp_path))
     assert os.path.isfile(tmp_path / "generated_stats.json")
     assert os.path.isfile(tmp_path / "generated_stats.png")
+    assert os.path.isfile(tmp_path / "sg_statistics.txt")
     assert summary["gen"]["num_graphs"] == b
     assert 0 < summary["gt"]["avg_nodes"] <= n
+    # full report fields (reference sg_utils.py:9-345 sections)
+    assert summary["gen"]["distinct_triplets"] > 0
+    assert len(summary["edge_freq"]) > 0
+    assert abs(sum(r["gen"] for r in summary["edge_freq"]) - 1.0) < 1e-6
+    assert len(summary["edge_occupancy_bins"]) == 10
+    assert abs(sum(summary["edge_occupancy_bins"]) - 100.0) < 1e-6
+    assert "bbox_by_class" in summary["gen"]
+    # every reference dashboard panel exists
+    for png in ["node_freq.png", "node_freq_diff.png", "edge_freq.png",
+                "edge_freq_diff.png", "node_num_vs_edge_num_line.png",
+                "node_num_vs_edge_num_scatter.png", "edge_sparsity.png"]:
+        assert os.path.isfile(tmp_path / png), png
+
+
+def test_sg_statistics_vs_reference_counts(tmp_path):
+    """Counting semantics parity: our vectorized uniques/frequency tables
+    match the reference's per-entry dict loops (sg_utils.py:24-50) run
+    directly on the same arrays."""
+    rs = np.random.RandomState(1)
+    b, n = 5, 7
+    flags = np.zeros((b, n), bool)
+    for i in range(b):
+        flags[i, :rs.randint(2, n + 1)] = True
+    adjs = rs.randint(0, 4, (b, n, n)) * (flags[:, :, None] & flags[:, None, :])
+    nodes = rs.randint(0, 6, (b, n))
+    classes = [f"c{i}" for i in range(6)]
+    preds = [f"p{i}" for i in range(4)]
+
+    # reference-style loop (transcribed from sg_utils.py:24-50)
+    node_d, edge_d, trip_d = {}, {}, {}
+    for g in range(b):
+        node_num = int(flags[g].sum())
+        for i in range(node_num):
+            nk = classes[int(nodes[g][i])]
+            node_d[nk] = node_d.get(nk, 0) + 1
+            for j in range(node_num):
+                e = int(adjs[g][i][j])
+                if e > 0:
+                    ek = preds[e]
+                    edge_d[ek] = edge_d.get(ek, 0) + 1
+                    tk = nk + "_" + ek + "_" + classes[int(nodes[g][j])]
+                    trip_d[tk] = trip_d.get(tk, 0) + 1
+
+    from diffusesg_tpu.eval.sg_statistics import _type_and_triplet_counts
+    got_n, got_e, got_t = _type_and_triplet_counts(
+        adjs, nodes, flags, classes, preds)
+    assert dict(got_n) == node_d
+    assert dict(got_e) == edge_d
+    assert dict(got_t) == trip_d

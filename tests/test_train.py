@@ -85,6 +85,55 @@ def test_ema_update_lerp():
     assert e0["w"].shape == (3, 3)
 
 
+def _ema_pytorch_trajectory(param_traj, beta):
+    """Reference EMA semantics, transcribed from ema_pytorch.EMA with the
+    reference's constructor args (update_every=1, update_after_step=0,
+    inv_gamma=1, power=1; DiffuseSG/utils/learning_utils.py:160): per update
+    call, step increments, early calls copy, later calls lerp with
+    decay = min(beta, 1 - (1 + epoch)**-1) where epoch = step - 1."""
+    ema = None
+    step = 0
+    initted = False
+    for p in param_traj:
+        cur = step
+        step += 1
+        if cur <= 0:  # step <= update_after_step
+            ema = p
+            continue
+        if not initted:
+            ema = p
+            initted = True
+        epoch = max(step - 0 - 1, 0)
+        value = 1.0 - (1.0 + epoch / 1.0) ** -1.0
+        decay = 0.0 if epoch <= 0 else min(max(value, 0.0), beta)
+        ema = ema * decay + p * (1.0 - decay)
+    return ema
+
+
+def test_ema_warmup_matches_ema_pytorch():
+    """EMA warmup parity on a 100-step fixture (VERDICT round-1 item 6)."""
+    from diffusesg_tpu.train.train_state import ema_effective_decay
+
+    rs = np.random.RandomState(3)
+    traj = rs.uniform(-1, 1, 100).astype(np.float32)
+    betas = jnp.asarray([0.9, 0.9999], jnp.float32)
+    ema = {"w": jnp.zeros((2,), jnp.float32)}
+    for s, p in enumerate(traj):
+        ema = update_emas(ema, {"w": jnp.full((), p, jnp.float32)}, betas,
+                          step=jnp.asarray(s, jnp.int32))
+    got = np.asarray(ema["w"])
+    for k, beta in enumerate([0.9, 0.9999]):
+        want = _ema_pytorch_trajectory(traj, beta)
+        np.testing.assert_allclose(got[k], want, rtol=1e-5)
+    # after warmup the effective decay saturates at beta
+    eff = np.asarray(ema_effective_decay(betas, jnp.asarray(100000)))
+    np.testing.assert_allclose(eff, [0.9, 0.9999], rtol=1e-6)
+    # and the first two updates are pure copies
+    for s in (0, 1):
+        np.testing.assert_array_equal(
+            np.asarray(ema_effective_decay(betas, jnp.asarray(s))), [0.0, 0.0])
+
+
 def test_train_step_overfits_tiny_model(rng):
     """Subset-overfit smoke test (reference --subset recipe, SURVEY §4)."""
     from diffusesg_tpu.models import DiffuseSG
