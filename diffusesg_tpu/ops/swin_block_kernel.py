@@ -96,18 +96,23 @@ def _kernel(x_ref, ss_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     att_scale = hd ** -0.5
 
     x = x_ref[:]  # [rb, window, W, C]
-    ss = ss_ref[:, 0].astype(jnp.float32)  # [rb, 2C]
-    scale = ss[:, None, :c]
-    shift = ss[:, None, c:]
-    xf = x.reshape(rb, T, c).astype(jnp.float32)
-    a = jax.nn.silu(shift + xf * (scale + 1.0))  # [rb, T, C]
+    # Per-element affine: Mosaic supports int indexing of leading ref/value
+    # dims and 3-D broadcasts, but NOT 4-D batched broadcasts or mixed
+    # int/slice gathers — so unroll over the packed batch elements here.
+    a_parts = []
+    for rbi in range(rb):
+        ss = ss_ref[rbi, 0].astype(jnp.float32)  # [2C]
+        xi = x[rbi].astype(jnp.float32)          # [window, W, C]
+        ai = jax.nn.silu(ss[c:] + xi * (ss[:c] + 1.0))
+        a_parts.append(ai.reshape(T, c))
+    a = jnp.concatenate(a_parts, axis=0) if rb > 1 else a_parts[0]  # [rb*T, C]
     hn = _layer_norm(a, g_ref[0].astype(jnp.float32), b_ref[0].astype(jnp.float32))
 
     # ONE packed qkv matmul: [rb * T, C] @ [C, 3C]
-    flat = hn.reshape(rb * T, c).astype(x.dtype)
+    flat = hn.astype(x.dtype)
     qkv = jnp.dot(flat, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = qkv + bqkv_ref[0].astype(jnp.float32)
-    qkv = qkv.reshape(rb, window, wdim, 3 * c).astype(x.dtype)
+    qkv = qkv.reshape(rb * window, wdim, 3 * c).astype(x.dtype)
 
     rel = relb_ref[:].astype(jnp.float32)  # [nH, L, L]
 
@@ -115,7 +120,8 @@ def _kernel(x_ref, ss_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     for rbi in range(rb):  # static unroll over packed batch elements
         outs = []
         for wi in range(n_win):  # static unroll over windows in the row
-            blk = qkv[rbi, :, wi * window:(wi + 1) * window, :].reshape(L, 3 * c)
+            blk = qkv[rbi * window:(rbi + 1) * window,
+                      wi * window:(wi + 1) * window, :].reshape(L, 3 * c)
             head_outs = []
             for hh in range(nh):  # static unroll over heads (lane slices:
                 # Mosaic cannot reshape the lane dim into [nh, hd])
@@ -139,10 +145,11 @@ def _kernel(x_ref, ss_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
             outs.append(jnp.concatenate(head_outs, axis=-1))  # [L, C]
         row = jnp.stack(outs, axis=0).reshape(n_win, window, window, c)
         attn_rows.append(row.transpose(1, 0, 2, 3).reshape(T, c))
-    attn = jnp.stack(attn_rows, axis=0).reshape(rb * T, c)
+    attn = (jnp.concatenate(attn_rows, axis=0) if rb > 1
+            else attn_rows[0])  # [rb*T, C]
     proj = jnp.dot(attn.astype(x.dtype), wproj_ref[:],
                    preferred_element_type=jnp.float32) + bproj_ref[0].astype(jnp.float32)
-    out = a.reshape(rb * T, c) + proj
+    out = a + proj
     o_ref[:] = out.reshape(rb, window, wdim, c).astype(o_ref.dtype)
 
 
