@@ -175,7 +175,7 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb):
-        from ..ops.swin_block_kernel import fused_swin_attn_block, swin_attn_block_xla
+        from ..ops.swin_block_kernel import swin_attn_block_xla
 
         h, w = self.input_resolution
         b, L, c = x.shape
@@ -203,27 +203,7 @@ class SwinBlock(nn.Module):
         if shift > 0:
             mask = jnp.asarray(shifted_window_attn_mask(h, w, window, shift))
 
-        xs = x.reshape(b, h, w, c).astype(self.dtype)
-        if shift > 0:
-            xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
-        # per-config control: COCO-shaped models (small window grids) ship
-        # with use_pallas=False; VG keeps the fused kernels at every stage
-        use_pallas = self.use_pallas
-        fn = fused_swin_attn_block if use_pallas else swin_attn_block_xla
-        if use_pallas:
-            out = fn(xs, scale_shift.astype(self.dtype), ln_gamma, ln_beta,
-                     wqkv.astype(self.dtype), bqkv, wproj.astype(self.dtype),
-                     bproj, rel_bias, mask, self.num_heads, window)
-        else:
-            out = fn(xs, scale_shift.astype(self.dtype), ln_gamma, ln_beta,
-                     wqkv.astype(self.dtype), bqkv, wproj.astype(self.dtype),
-                     bproj, rel_bias, mask, num_heads=self.num_heads,
-                     window=window)
-        if shift > 0:
-            out = jnp.roll(out, (shift, shift), axis=(1, 2))
-        x = out.reshape(b, L, c)
-
-        # MLP half: y = x + fc2(gelu(fc1(LN(x)))), fused on TPU
+        # MLP-half parameters (both paths)
         hidden = int(self.dim * self.mlp_ratio)
         ln2_gamma = self.param("norm2_scale", nn.initializers.ones, (c,))
         ln2_beta = self.param("norm2_bias", nn.initializers.zeros, (c,))
@@ -231,10 +211,33 @@ class SwinBlock(nn.Module):
         b1 = self.param("mlp_fc1_bias", nn.initializers.zeros, (hidden,))
         w2 = self.param("mlp_fc2_kernel", trunc_normal_init(), (hidden, c))
         b2 = self.param("mlp_fc2_bias", nn.initializers.zeros, (c,))
-        from ..ops.mlp_block_kernel import fused_mlp_block, mlp_block_xla
-        mlp_fn = fused_mlp_block if use_pallas else mlp_block_xla
-        return mlp_fn(x, ln2_gamma, ln2_beta, w1.astype(self.dtype), b1,
-                      w2.astype(self.dtype), b2)
+
+        xs = x.reshape(b, h, w, c).astype(self.dtype)
+        if shift > 0:
+            xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
+        if self.use_pallas:
+            # whole block (attn + MLP halves) as ONE fused TPU kernel
+            from ..ops.swin_full_block import fused_swin_block
+            out = fused_swin_block(
+                xs, scale_shift.astype(self.dtype), ln_gamma, ln_beta,
+                wqkv.astype(self.dtype), bqkv, wproj.astype(self.dtype),
+                bproj, rel_bias, mask, ln2_gamma, ln2_beta,
+                w1.astype(self.dtype), b1, w2.astype(self.dtype), b2,
+                self.num_heads, window)
+            if shift > 0:
+                out = jnp.roll(out, (shift, shift), axis=(1, 2))
+            return out.reshape(b, L, c)
+
+        out = swin_attn_block_xla(
+            xs, scale_shift.astype(self.dtype), ln_gamma, ln_beta,
+            wqkv.astype(self.dtype), bqkv, wproj.astype(self.dtype),
+            bproj, rel_bias, mask, num_heads=self.num_heads, window=window)
+        if shift > 0:
+            out = jnp.roll(out, (shift, shift), axis=(1, 2))
+        x = out.reshape(b, L, c)
+        from ..ops.mlp_block_kernel import mlp_block_xla
+        return mlp_block_xla(x, ln2_gamma, ln2_beta, w1.astype(self.dtype),
+                             b1, w2.astype(self.dtype), b2)
 
 
 class PatchMerging(nn.Module):
