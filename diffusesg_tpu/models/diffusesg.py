@@ -142,8 +142,9 @@ class DiffuseSG(nn.Module):
         node_cat = mask_adjs(jnp.concatenate([node_mat, node_mat_t], axis=-1), node_flags)
 
         x = jnp.concatenate([adj, node_cat], axis=-1).astype(self.dtype)
-        shared = self._forward_features(x, emb)  # [B, N, N, D]
-        shared = shared.astype(jnp.float32)
+        shared = self._forward_features(x, emb)  # [B, N, N, D], model dtype
+        # keep the readout pipeline in the compute dtype: upcasting here
+        # costs a full [B,N,N,D] fp32 round-trip; outputs are cast below
 
         # per-entry adjacency readout (reference: diffusesg.py:805-809)
         adj_out = self.readout_adj_mlp(shared).astype(jnp.float32)
@@ -152,9 +153,10 @@ class DiffuseSG(nn.Module):
 
         # padding-aware pooled node readout (reference: diffusesg.py:812-818):
         # mask invalid pairs, mean over the column axis (full N divisor, as in
-        # the reference's masked .mean(dim=-1))
+        # the reference's masked .mean(dim=-1)); fp32 accumulation
         shared_masked = mask_adjs(shared, node_flags)
-        node_feat = shared_masked.mean(axis=2)  # [B, N, D]
+        node_feat = jnp.mean(shared_masked, axis=2,
+                             dtype=jnp.float32).astype(self.dtype)  # [B, N, D]
         node_out = self.readout_node_mlp(node_feat).astype(jnp.float32)
         if self.out_chans_node == 1:
             node_out = node_out[..., 0]

@@ -31,7 +31,13 @@ DENSE_KW = dict(kernel_init=trunc_normal_init(), bias_init=nn.initializers.zeros
 
 
 class Mlp(nn.Module):
-    """Two-layer GELU MLP (reference: diffusesg.py:9-25)."""
+    """Two-layer GELU MLP (reference: diffusesg.py:9-25).
+
+    The second projection's output width is tiny for the readout heads
+    (1-16 channels); XLA lowers such narrow dots to a VPU multiply+reduce
+    (~0.5 ms on the [B,N,N,C] grid).  The kernel is zero-padded to a full
+    128-lane tile at compute time (param shapes unchanged) so the dot runs
+    on the MXU, and the pad is sliced back off."""
     hidden_features: int
     out_features: int
     dtype: jnp.dtype = jnp.float32
@@ -40,8 +46,18 @@ class Mlp(nn.Module):
     def __call__(self, x):
         x = nn.Dense(self.hidden_features, dtype=self.dtype, **DENSE_KW)(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out_features, dtype=self.dtype, **DENSE_KW)(x)
-        return x
+        w2 = self.param("fc2_kernel", trunc_normal_init(),
+                        (self.hidden_features, self.out_features))
+        b2 = self.param("fc2_bias", nn.initializers.zeros, (self.out_features,))
+        if self.out_features < 128:
+            wp = jnp.pad(w2, ((0, 0), (0, 128 - self.out_features)))
+            out = jnp.dot(x, wp.astype(self.dtype),
+                          preferred_element_type=jnp.float32)
+            out = out[..., : self.out_features]
+        else:
+            out = jnp.dot(x, w2.astype(self.dtype),
+                          preferred_element_type=jnp.float32)
+        return (out + b2).astype(self.dtype)
 
 
 def window_partition(x: jax.Array, window: int) -> jax.Array:
@@ -217,7 +233,8 @@ class SwinBlock(nn.Module):
             xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
         if self.use_pallas:
             # whole block (attn + MLP halves) as ONE fused TPU kernel
-            from ..ops.swin_full_block import fused_swin_block
+            # (v3: pair-packed window attention, ops/swin_block_v3.py)
+            from ..ops.swin_block_v3 import fused_swin_block_v3 as fused_swin_block
             out = fused_swin_block(
                 xs, scale_shift.astype(self.dtype), ln_gamma, ln_beta,
                 wqkv.astype(self.dtype), bqkv, wproj.astype(self.dtype),
@@ -242,55 +259,60 @@ class SwinBlock(nn.Module):
 
 class PatchMerging(nn.Module):
     """2x downsample: gather 2x2 neighborhoods, LayerNorm, Dense 4C->2C
-    (reference: diffusesg.py:298-344)."""
+    (reference: diffusesg.py:298-344).
+
+    Runs as ONE fused Pallas pass on TPU (ops/patch_resample.py) — the
+    XLA lowering of the 6-D gather materializes fp32 transpose copies that
+    cost more than the neighbouring attention blocks."""
     input_resolution: tuple[int, int]
     dim: int
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.patch_resample import fused_patch_merge, patch_merge_xla
         h, w = self.input_resolution
         b, L, c = x.shape
-        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        # channel order [x0(0,0), x1(1,0), x2(0,1), x3(1,1)]: (w-offset, h-offset)
-        x = x.transpose(0, 1, 3, 4, 2, 5)  # [b, h/2, w/2, wo, ho, c]
-        x = x.reshape(b, (h // 2) * (w // 2), 4 * c)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
-        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
-                        kernel_init=trunc_normal_init())(x)
+        g = self.param("norm_scale", nn.initializers.ones, (4 * c,))
+        bt = self.param("norm_bias", nn.initializers.zeros, (4 * c,))
+        wred = self.param("reduction_kernel", trunc_normal_init(),
+                          (4 * c, 2 * self.dim))
+        xs = x.reshape(b, h, w, c).astype(self.dtype)
+        fn = fused_patch_merge if self.use_pallas else patch_merge_xla
+        out = fn(xs, g, bt, wred.astype(self.dtype))
+        return out.reshape(b, (h // 2) * (w // 2), 2 * self.dim)
 
 
 class PatchBreakup(nn.Module):
     """2x upsample, inverse of PatchMerging with skip handling
-    (reference: diffusesg.py:347-412)."""
+    (reference: diffusesg.py:347-412).  Fused Pallas pass on TPU, like
+    PatchMerging."""
     input_resolution: tuple[int, int]
     dim: int  # channel count of the (possibly skip-concatenated) input
     skip_connection: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.patch_resample import fused_patch_breakup, patch_breakup_xla
         h, w = self.input_resolution
         b, L, c = x.shape
-        if self.skip_connection:
-            x = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                         kernel_init=trunc_normal_init())(x)
-            x = nn.LayerNorm(dtype=self.dtype)(x)
-            true_dim = self.dim // 2
-        else:
-            x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
-                         kernel_init=trunc_normal_init())(x)
-            x = nn.LayerNorm(dtype=self.dtype)(x)
-            true_dim = self.dim
-        c_out = true_dim // 2
-        x = x.reshape(b, h, w, 4, c_out)
-        # inverse scatter of PatchMerging's gather: chunk k -> offset (k%2, k//2)
-        x = x.reshape(b, h, w, 2, 2, c_out)      # [b, h, w, wo, ho, c]
-        x = x.transpose(0, 1, 4, 2, 3, 5)        # [b, h, ho, w, wo, c]
-        x = x.reshape(b, 2 * h * 2 * w, c_out)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
-        return nn.Dense(c_out, use_bias=False, dtype=self.dtype,
-                        kernel_init=trunc_normal_init())(x)
+        # chunk k -> offset (ho=k%2, wo=k//2); dim_inner == 4*c_out always
+        dim_inner = self.dim if self.skip_connection else 2 * self.dim
+        c_out = dim_inner // 4
+        w_in = self.param("pre_kernel", trunc_normal_init(), (c, dim_inner))
+        g1 = self.param("norm1_scale", nn.initializers.ones, (dim_inner,))
+        b1 = self.param("norm1_bias", nn.initializers.zeros, (dim_inner,))
+        g2 = self.param("norm2_scale", nn.initializers.ones, (c_out,))
+        b2 = self.param("norm2_bias", nn.initializers.zeros, (c_out,))
+        w_out = self.param("post_kernel", trunc_normal_init(), (c_out, c_out))
+        xs = x.reshape(b, h, w, c).astype(self.dtype)
+        fn = fused_patch_breakup if self.use_pallas else patch_breakup_xla
+        out = fn(xs, w_in.astype(self.dtype), g1, b1, g2, b2,
+                 w_out.astype(self.dtype))
+        return out.reshape(b, 4 * h * w, c_out)
 
 
 class BasicLayer(nn.Module):
@@ -313,8 +335,11 @@ class BasicLayer(nn.Module):
         res = self.input_resolution
         if self.upsample:
             # always with skip connection when upsampling (diffusesg.py:448-451)
+            # fused kernel: XLA lowers the breakup's depth-to-space chain with
+            # fp32 T(2,128) layouts (~3.2ms at 32->64 vs 1.7ms fused); the
+            # merge direction is layout-friendly in XLA, so it stays unfused
             x = PatchBreakup(res, self.dim * 4, skip_connection=True,
-                             dtype=self.dtype)(x)
+                             dtype=self.dtype, use_pallas=self.use_pallas)(x)
             res = (res[0] * 2, res[1] * 2)
         block_cls = nn.remat(SwinBlock) if self.remat else SwinBlock
         for i in range(self.depth):
@@ -323,7 +348,11 @@ class BasicLayer(nn.Module):
                           mlp_ratio=self.mlp_ratio, dtype=self.dtype,
                           use_pallas=self.use_pallas)(x, emb)
         if self.downsample:
-            x = PatchMerging(res, self.dim, dtype=self.dtype)(x)
+            # fused: XLA hoists the LN's fp32 convert before the 2x2 gather
+            # transpose, moving 100MB+ in fp32 T(2,128) layouts (~2.5ms at
+            # 64->32 vs 1.1ms fused)
+            x = PatchMerging(res, self.dim, dtype=self.dtype,
+                             use_pallas=self.use_pallas)(x)
         return x
 
 

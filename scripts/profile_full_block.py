@@ -30,6 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 from diffusesg_tpu.models.layers import (
     relative_position_index, shifted_window_attn_mask)
 from diffusesg_tpu.ops.swin_full_block import fused_swin_block, swin_block_xla
+from diffusesg_tpu.ops.swin_block_v3 import fused_swin_block_v3
 
 B = int(os.environ.get("BENCH_BATCH", 64))
 WINDOW = 8
@@ -106,10 +107,12 @@ def useful_gflops(res, c, nh):
 def bench_stage(res, c, nh, shifted, iters=200):
     x, rest = make_args(res, c, nh, shifted)
     fn_f = lambda xx: fused_swin_block(xx, *rest, nh, WINDOW)
+    fn_3 = lambda xx: fused_swin_block_v3(xx, *rest, nh, WINDOW)
     fn_x = lambda xx: swin_block_xla(xx, *rest, num_heads=nh, window=WINDOW)
     tf = timeit(fn_f, x, iters)
-    tx = timeit(fn_x, x, iters)
-    return tf, tx
+    t3 = timeit(fn_3, x, iters)
+    tx = timeit(fn_x, x, iters) if "--xla" in sys.argv else float("nan")
+    return tf, t3, tx
 
 
 def bench_full(iters=20):
@@ -155,26 +158,28 @@ def main():
     if "--stage" in sys.argv:
         only = int(sys.argv[sys.argv.index("--stage") + 1])
     print(f"backend={jax.default_backend()} batch={B} dtype=bfloat16")
-    total_f = total_x = 0.0
+    total_f = total_3 = 0.0
     for i, (res, c, nh, count, shifted_count) in enumerate(STAGES):
         if only is not None and i != only:
             continue
         gf = useful_gflops(res, c, nh)
-        tf, tx = bench_stage(res, c, nh, False)
+        tf, t3, tx = bench_stage(res, c, nh, False)
         mfu_f = gf / tf / PEAK_TFLOPS * 100
-        mfu_x = gf / tx / PEAK_TFLOPS * 100
+        mfu_3 = gf / t3 / PEAK_TFLOPS * 100
         n_plain = count - shifted_count
-        print(f"block {res:3d}x{res:<3d} C={c:<4d} fused {tf:7.3f} ms ({mfu_f:4.1f}% MFU) "
-              f"xla {tx:7.3f} ms ({mfu_x:4.1f}%)  x{n_plain}", flush=True)
+        print(f"block {res:3d}x{res:<3d} C={c:<4d} v2 {tf:7.3f} ms ({mfu_f:4.1f}%) "
+              f"v3 {t3:7.3f} ms ({mfu_3:4.1f}%) xla {tx:7.3f} ms  x{n_plain}",
+              flush=True)
         total_f += tf * n_plain
-        total_x += tx * n_plain
+        total_3 += t3 * n_plain
         if shifted_count:
-            tfs, txs = bench_stage(res, c, nh, True)
-            print(f"block {res:3d}x{res:<3d} C={c:<4d} SHIFT fused {tfs:7.3f} ms "
-                  f"xla {txs:7.3f} ms  x{shifted_count}", flush=True)
+            tfs, t3s, txs = bench_stage(res, c, nh, True)
+            print(f"block {res:3d}x{res:<3d} C={c:<4d} SHIFT v2 {tfs:7.3f} ms "
+                  f"v3 {t3s:7.3f} ms xla {txs:7.3f} ms  x{shifted_count}",
+                  flush=True)
             total_f += tfs * shifted_count
-            total_x += txs * shifted_count
-    print(f"TOTAL blocks: fused {total_f:.3f} ms   xla {total_x:.3f} ms")
+            total_3 += t3s * shifted_count
+    print(f"TOTAL blocks: v2 {total_f:.3f} ms   v3 {total_3:.3f} ms")
     if "--skip-full" not in sys.argv and only is None:
         tfull = bench_full()
         print(f"FULL precond forward {tfull:.3f} ms  (rest = {tfull - total_f:.3f} ms)")

@@ -80,7 +80,9 @@ def _ln(sd, prefix):
 
 
 def _mlp(sd, prefix):
-    return {"Dense_0": _dense(sd, f"{prefix}.fc1"), "Dense_1": _dense(sd, f"{prefix}.fc2")}
+    return {"Dense_0": _dense(sd, f"{prefix}.fc1"),
+            "fc2_kernel": _t2j(sd[f"{prefix}.fc2.weight"]).T,
+            "fc2_bias": _t2j(sd[f"{prefix}.fc2.bias"])}
 
 
 def _swin_block(sd, prefix):
@@ -106,17 +108,20 @@ def _basic_layer(sd, prefix, depth, has_down, has_up):
     out = {}
     if has_up:
         out["PatchBreakup_0"] = {
-            "Dense_0": _dense_nobias(sd, f"{prefix}.upsample.pre_linear"),
-            "LayerNorm_0": _ln(sd, f"{prefix}.upsample.norm"),
-            "LayerNorm_1": _ln(sd, f"{prefix}.upsample.post_norm"),
-            "Dense_1": _dense_nobias(sd, f"{prefix}.upsample.post_linear"),
+            "pre_kernel": _t2j(sd[f"{prefix}.upsample.pre_linear.weight"]).T,
+            "norm1_scale": _t2j(sd[f"{prefix}.upsample.norm.weight"]),
+            "norm1_bias": _t2j(sd[f"{prefix}.upsample.norm.bias"]),
+            "norm2_scale": _t2j(sd[f"{prefix}.upsample.post_norm.weight"]),
+            "norm2_bias": _t2j(sd[f"{prefix}.upsample.post_norm.bias"]),
+            "post_kernel": _t2j(sd[f"{prefix}.upsample.post_linear.weight"]).T,
         }
     for i in range(depth):
         out[f"SwinBlock_{i}"] = _swin_block(sd, f"{prefix}.blocks.{i}")
     if has_down:
         out["PatchMerging_0"] = {
-            "LayerNorm_0": _ln(sd, f"{prefix}.downsample.norm"),
-            "Dense_0": _dense_nobias(sd, f"{prefix}.downsample.reduction"),
+            "norm_scale": _t2j(sd[f"{prefix}.downsample.norm.weight"]),
+            "norm_bias": _t2j(sd[f"{prefix}.downsample.norm.bias"]),
+            "reduction_kernel": _t2j(sd[f"{prefix}.downsample.reduction.weight"]).T,
         }
     return out
 
