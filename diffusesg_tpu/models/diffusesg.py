@@ -91,8 +91,10 @@ class DiffuseSG(nn.Module):
 
         self.final_norm = nn.LayerNorm(dtype=self.dtype)
         self.read_out = ReadOut(self.patch_size, self.embed_dim, dtype=self.dtype)
-        self.readout_adj_mlp = Mlp(self.embed_dim, self.out_chans_adj, dtype=self.dtype)
-        self.readout_node_mlp = Mlp(self.embed_dim, self.out_chans_node, dtype=self.dtype)
+        self.readout_adj_mlp = Mlp(self.embed_dim, self.out_chans_adj,
+                                   dtype=self.dtype, use_pallas=self.use_pallas)
+        self.readout_node_mlp = Mlp(self.embed_dim, self.out_chans_node,
+                                    dtype=self.dtype, use_pallas=self.use_pallas)
 
     def _forward_features(self, x, emb):
         """U-Net core over [B, H, W, C_in] (reference: diffusesg.py:739-763)."""

@@ -31,33 +31,32 @@ DENSE_KW = dict(kernel_init=trunc_normal_init(), bias_init=nn.initializers.zeros
 
 
 class Mlp(nn.Module):
-    """Two-layer GELU MLP (reference: diffusesg.py:9-25).
+    """Two-layer GELU MLP readout head (reference: diffusesg.py:9-25).
 
-    The second projection's output width is tiny for the readout heads
-    (1-16 channels); XLA lowers such narrow dots to a VPU multiply+reduce
-    (~0.5 ms on the [B,N,N,C] grid).  The kernel is zero-padded to a full
-    128-lane tile at compute time (param shapes unchanged) so the dot runs
-    on the MXU, and the pad is sliced back off."""
+    The second projection's output width is tiny (1-16 channels); XLA
+    lowers such narrow dots to a VPU multiply+reduce loop (~0.5 ms on the
+    [B,N,N,C] grid).  On TPU the whole head runs as one Pallas pass
+    (ops/readout_kernel.py) with both dots on the MXU."""
     hidden_features: int
     out_features: int
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_features, dtype=self.dtype, **DENSE_KW)(x)
-        x = nn.gelu(x, approximate=False)
+        from ..ops.readout_kernel import fused_readout_mlp, readout_mlp_xla
+        c = x.shape[-1]
+        w1 = self.param("fc1_kernel", trunc_normal_init(),
+                        (c, self.hidden_features))
+        b1 = self.param("fc1_bias", nn.initializers.zeros,
+                        (self.hidden_features,))
         w2 = self.param("fc2_kernel", trunc_normal_init(),
                         (self.hidden_features, self.out_features))
         b2 = self.param("fc2_bias", nn.initializers.zeros, (self.out_features,))
-        if self.out_features < 128:
-            wp = jnp.pad(w2, ((0, 0), (0, 128 - self.out_features)))
-            out = jnp.dot(x, wp.astype(self.dtype),
-                          preferred_element_type=jnp.float32)
-            out = out[..., : self.out_features]
-        else:
-            out = jnp.dot(x, w2.astype(self.dtype),
-                          preferred_element_type=jnp.float32)
-        return (out + b2).astype(self.dtype)
+        fn = fused_readout_mlp if self.use_pallas else readout_mlp_xla
+        out = fn(x.reshape(-1, c).astype(self.dtype), w1.astype(self.dtype),
+                 b1, w2.astype(self.dtype), b2)
+        return out.reshape(x.shape[:-1] + (self.out_features,)).astype(self.dtype)
 
 
 def window_partition(x: jax.Array, window: int) -> jax.Array:

@@ -127,7 +127,15 @@ def _headmask(L, P, G, hd) -> np.ndarray:
     return m
 
 
-def _kernel(x_ref, ss_ref, g1_ref, b1n_ref, wqkv_ref, bqkv_ref, wproj_ref,
+def _norm_nogb(x, eps=1e-6):
+    """LayerNorm WITHOUT gamma/beta: those are folded into the next matmul's
+    weights host-side (w_eff = gamma[:,None]*W, b_eff = b + beta@W)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def _kernel(x_ref, ss_ref, wqkv_ref, bqkv_ref, wproj_ref,
             bproj_ref, relp_ref, hm_ref, mask_ref, mlp_refs, o_ref,
             *, window, num_heads, n_win, rb, rp, P, G):
     c = x_ref.shape[-1]
@@ -148,19 +156,15 @@ def _kernel(x_ref, ss_ref, g1_ref, b1n_ref, wqkv_ref, bqkv_ref, wproj_ref,
         xi = x[rbi].astype(jnp.float32)
         a_parts.append(jax.nn.silu(ss[c:] + xi * (ss[:c] + 1.0)).reshape(T, c))
     a = jnp.concatenate(a_parts, axis=0) if rb > 1 else a_parts[0]  # [Tt, C]
-    hn = _layer_norm(a, g1_ref[0].astype(jnp.float32),
-                     b1n_ref[0].astype(jnp.float32))
+    hn = _norm_nogb(a).astype(x.dtype)
 
-    qkv = jnp.dot(hn.astype(x.dtype), wqkv_ref[:],
-                  preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
-
-    # ONE transpose to window-major token order (contiguous window slices)
+    # transpose to window-major token order BEFORE qkv (96 bf16 lanes moved
+    # instead of 288); the matmul is per-token, so order commutes with it
     if n_win > 1:
-        qkv_w = (qkv.reshape(rb * rp, window, n_win, window, 3 * c)
-                 .transpose(0, 2, 1, 3, 4).reshape(Tt, 3 * c))
-    else:
-        qkv_w = qkv
+        hn = (hn.reshape(rb * rp, window, n_win, window, c)
+              .transpose(0, 2, 1, 3, 4).reshape(Tt, c))
+    qkv = jnp.dot(hn, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv_w = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
 
     hm = hm_ref[:]  # [G*P*L, G*hd] 0/1
     attn_parts = []
@@ -185,20 +189,28 @@ def _kernel(x_ref, ss_ref, g1_ref, b1n_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 s = s + mask_ref[pi % (rp * n_win // P)]
             # one per-row max over ALL columns: a per-row constant shift is
             # softmax-invariant within each head's own normalization slice
-            e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True)).astype(x.dtype)
+            ef = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            e = ef.astype(x.dtype)
             num = jax.lax.dot_general(
                 e, vhat, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [P*L, G*hd]
-            den = jax.lax.dot_general(
-                e, hm, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # per-head sums, hd-wide
+            # denominator on the VPU (overlaps the MXU): an e @ headmask
+            # matmul would stream the full G*P*L contraction again (~2x the
+            # attention's MXU busy cycles at G=6)
+            den_parts = [
+                jnp.broadcast_to(
+                    jnp.sum(ef[:, g * P * L:(g + 1) * P * L], axis=-1,
+                            keepdims=True), (P * L, hd))
+                for g in range(G)]
+            den = (jnp.concatenate(den_parts, axis=-1)
+                   if G > 1 else den_parts[0])  # [P*L, G*hd]
             # floor: if one head's whole score block sits >87 below the
-            # global row max, its bf16 exps underflow to 0; the floor turns
+            # global row max, its fp32 exps underflow to 0; the floor turns
             # the resulting 0/0 into 0 instead of NaN (the per-head-max v2
             # kernel and the XLA path remain the numerically exact baseline)
-            grp_outs.append(num / jnp.maximum(den, 1e-30))
+            grp_outs.append((num / jnp.maximum(den, 1e-30)).astype(x.dtype))
         attn_parts.append(jnp.concatenate(grp_outs, axis=-1)
-                          if n_grp > 1 else grp_outs[0])  # [P*L, C] fp32
+                          if n_grp > 1 else grp_outs[0])  # [P*L, C] bf16
     attn_w = (jnp.concatenate(attn_parts, axis=0)
               if len(attn_parts) > 1 else attn_parts[0])  # [Tt, C]
 
@@ -207,14 +219,12 @@ def _kernel(x_ref, ss_ref, g1_ref, b1n_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 .transpose(0, 2, 1, 3, 4).reshape(Tt, c))
     else:
         attn = attn_w
-    proj = jnp.dot(attn.astype(x.dtype), wproj_ref[:],
-                   preferred_element_type=jnp.float32)
+    proj = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
     y = a + proj + bproj_ref[0].astype(jnp.float32)
 
     if mlp_refs is not None:
-        g2_ref, b2n_ref, w1_ref, bb1_ref, w2_ref, bb2_ref = mlp_refs
-        hn2 = _layer_norm(y, g2_ref[0].astype(jnp.float32),
-                          b2n_ref[0].astype(jnp.float32))
+        w1_ref, bb1_ref, w2_ref, bb2_ref = mlp_refs
+        hn2 = _norm_nogb(y)
         hmid = jnp.dot(hn2.astype(x.dtype), w1_ref[:],
                        preferred_element_type=jnp.float32)
         hmid = hmid + bb1_ref[0].astype(jnp.float32)
@@ -267,22 +277,24 @@ def _fwd_impl(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
     ss3 = scale_shift.reshape(b, 1, 2 * c)
     vec = lambda v: v.reshape(1, -1)
 
+    # fold the LN gammas/betas into the following projections (host-side):
+    # LN(x; g, b) @ W == normalize(x) @ (g[:,None]*W) + b@W
+    wq_eff = (wqkv.astype(jnp.float32) * ln1_g[:, None]).astype(x.dtype)
+    bq_eff = bqkv + ln1_b @ wqkv.astype(jnp.float32)
+
     in_specs = [
         pl.BlockSpec((rb, rp * window, w, c), lambda bi, r: (bi, r, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rb, 1, 2 * c), lambda bi, r: (bi, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # ln1_g [1, C]
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # ln1_b [1, C]
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # wqkv [C, 3C]
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # bqkv [1, 3C]
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # wq_eff [C, 3C]
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # bq_eff [1, 3C]
         pl.BlockSpec(memory_space=pltpu.VMEM),  # wproj [C, C]
         pl.BlockSpec(memory_space=pltpu.VMEM),  # bproj [1, C]
         pl.BlockSpec(memory_space=pltpu.VMEM),  # relp [n_grp, P*L, G*P*L]
         pl.BlockSpec(memory_space=pltpu.VMEM),  # headmask [G*P*L, G*hd]
     ]
-    args = [x, ss3, vec(ln1_g), vec(ln1_b), wqkv, vec(bqkv), wproj,
-            vec(bproj), relp, hm]
+    args = [x, ss3, wq_eff, vec(bq_eff), wproj, vec(bproj), relp, hm]
 
     has_mask = mask is not None
     if has_mask:
@@ -294,21 +306,23 @@ def _fwd_impl(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
             memory_space=pltpu.VMEM))
         args.append(maskp)
     if fuse_mlp:
-        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
-        args += [vec(ln2_g), vec(ln2_b), w1, vec(b1), w2, vec(b2)]
+        w1_eff = (w1.astype(jnp.float32) * ln2_g[:, None]).astype(x.dtype)
+        b1_eff = b1 + ln2_b @ w1.astype(jnp.float32)
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        args += [w1_eff, vec(b1_eff), w2, vec(b2)]
 
     def kernel(*refs):
-        xr, ssr, g1r, b1r, wqr, bqr, wpr, bpr, rgr, hmr = refs[:10]
-        idx = 10
+        xr, ssr, wqr, bqr, wpr, bpr, rgr, hmr = refs[:8]
+        idx = 8
         mr = None
         if has_mask:
             mr = refs[idx]
             idx += 1
         mlp_refs = None
         if fuse_mlp:
-            mlp_refs = refs[idx:idx + 6]
-            idx += 6
-        _kernel(xr, ssr, g1r, b1r, wqr, bqr, wpr, bpr, rgr, hmr, mr, mlp_refs,
+            mlp_refs = refs[idx:idx + 4]
+            idx += 4
+        _kernel(xr, ssr, wqr, bqr, wpr, bpr, rgr, hmr, mr, mlp_refs,
                 refs[idx], window=window, num_heads=num_heads,
                 n_win=n_win, rb=rb, rp=rp, P=P, G=G)
 

@@ -33,16 +33,25 @@ from diffusesg_tpu.ops.swin_full_block import fused_swin_block, swin_block_xla
 from diffusesg_tpu.ops.swin_block_v3 import fused_swin_block_v3
 
 B = int(os.environ.get("BENCH_BATCH", 64))
-WINDOW = 8
 PEAK_TFLOPS = 197.0  # v5e bf16
 
-# (res, C, nh, count, shifted_count) over down+up paths of the VG config
-STAGES = [
-    (64, 96, 3, 2, 0),
-    (32, 192, 6, 2, 0),
-    (16, 384, 12, 6, 2),
-    (8, 768, 24, 2, 0),
-]
+if "--coco" in sys.argv:
+    WINDOW = 10
+    # COCO config: depths [1,2,6], window 10 (configs/..._coco.yaml)
+    STAGES = [
+        (40, 96, 3, 2, 0),
+        (20, 192, 6, 4, 2),
+        (10, 384, 12, 12, 0),
+    ]
+else:
+    WINDOW = 8
+    # (res, C, nh, count, shifted_count) over down+up paths of the VG config
+    STAGES = [
+        (64, 96, 3, 2, 0),
+        (32, 192, 6, 2, 0),
+        (16, 384, 12, 6, 2),
+        (8, 768, 24, 2, 0),
+    ]
 
 
 def _force(o):

@@ -80,7 +80,8 @@ def _ln(sd, prefix):
 
 
 def _mlp(sd, prefix):
-    return {"Dense_0": _dense(sd, f"{prefix}.fc1"),
+    return {"fc1_kernel": _t2j(sd[f"{prefix}.fc1.weight"]).T,
+            "fc1_bias": _t2j(sd[f"{prefix}.fc1.bias"]),
             "fc2_kernel": _t2j(sd[f"{prefix}.fc2.weight"]).T,
             "fc2_bias": _t2j(sd[f"{prefix}.fc2.bias"])}
 

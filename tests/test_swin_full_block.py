@@ -50,6 +50,8 @@ STAGE_SHAPES = [
     (8, 10, 10, 128, 4, 10),   # COCO deepest: L=100, single window
     (4, 20, 20, 64, 4, 10),    # COCO mid: 2x2 windows
     (2, 16, 16, 768, 24, 8),   # VG deepest true width: G=8, MLP unfused
+    (2, 40, 40, 96, 3, 10),    # COCO stage 0 exact channels
+    (2, 10, 10, 384, 12, 10),  # COCO deepest exact channels: n_grp=2
 ]
 
 
