@@ -84,7 +84,11 @@ def fused_patch_merge(x, ln_g, ln_b, w):
 
 
 def _resample_tile(b, h, c, bytes_per_tok, limit=8 * 1024 * 1024):
-    """(rb, rt): batch x out-row packing under a VMEM budget."""
+    """(rb, rt): batch x out-row packing under a VMEM budget.  Mosaic
+    materializes fp32 copies of the transposed tiles, so the effective
+    bytes/token is several times the naive estimate — these factors are
+    calibrated against measured scoped-vmem usage (26M at 2x the known-good
+    tile), not derived."""
     rb, rt = 1, 1
     while rt * 2 <= h // 2 and (h // 2) % (rt * 2) == 0 \
             and rt * 2 * c * bytes_per_tok <= limit:
@@ -99,7 +103,7 @@ def _merge_fwd_impl(x, ln_g, ln_b, w):
     if jax.default_backend() != "tpu" and not INTERPRET:
         return patch_merge_xla(x, ln_g, ln_b, w)
     b, h, ww, c = x.shape
-    rb, rt = _resample_tile(b, h, ww * c, 22)  # in 2+4cat+4ln+2mm+4out+6 slack
+    rb, rt = _resample_tile(b, h, ww * c, 22)
     grid = (b // rb, (h // 2) // rt)
     vec = lambda v: v.reshape(1, -1)
     return pl.pallas_call(
