@@ -12,7 +12,7 @@ from diffusesg_tpu.train import (TrainStepConfig, create_train_state,
 cfg = load_config('configs/edm_diffuse_sg_regular_visual_genome.yaml')
 with cfg.unlocked():
     cfg.tpu.compute_dtype = 'bfloat16'
-    cfg.tpu.use_pallas_attention = True
+    cfg.tpu.use_pallas_attention = os.environ.get('BENCH_PALLAS', '1') == '1'
 B = int(os.environ.get('BENCH_BATCH', 64))
 model = build_model(cfg)
 params = init_params(model, cfg, jax.random.PRNGKey(0))
