@@ -122,10 +122,152 @@ def _fwd(x, ln_gamma, ln_beta, w1, b1, w2, b2):
     return out, (x, ln_gamma, ln_beta, w1, b1, w2, b2)
 
 
+def _gelu_tanh_grad(u):
+    """d/du of the tanh-approximated GELU (matches the forward kernel)."""
+    k = 0.7978845608028654  # sqrt(2/pi)
+    u2 = u * u
+    w = k * (u + 0.044715 * u * u2)
+    t = jnp.tanh(w)
+    return 0.5 * (1.0 + t) + 0.5 * u * (1.0 - t * t) * k * (1.0 + 3 * 0.044715 * u2)
+
+
+def _mlp_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, dout_ref,
+                    dx_ref, dg_ref, db_ref, dw1_ref, db1_ref, dw2_ref,
+                    db2_ref, *, eps=1e-6):
+    """Analytic backward for y = x + fc2(gelu(fc1(LN(x)))), one token tile.
+
+    Weight/LN grads accumulate into constant-index output blocks that stay
+    VMEM-resident across the whole grid (standard Pallas reduction pattern);
+    program 0 initializes them."""
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    x = x_ref[:].astype(jnp.float32)
+    c = x.shape[-1]
+    gam = g_ref[0].astype(jnp.float32)
+    # recompute the forward pieces
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    hbar = (x - mean) * r
+    hn = (hbar * gam + b_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+    u = jnp.dot(hn, w1_ref[:], preferred_element_type=jnp.float32)
+    u = u + b1_ref[0].astype(jnp.float32)
+    m = _erf_gelu(u).astype(x_ref.dtype)
+
+    dout = dout_ref[:].astype(jnp.float32)
+    doutb = dout.astype(x_ref.dtype)
+    dm = jax.lax.dot_general(  # dout @ W2^T
+        doutb, w2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw2_ref[:] += jax.lax.dot_general(  # m^T @ dout
+        m, doutb, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db2_ref[:] += jnp.sum(dout, axis=0, keepdims=True)
+    du = dm * _gelu_tanh_grad(u)
+    dub = du.astype(x_ref.dtype)
+    dw1_ref[:] += jax.lax.dot_general(
+        hn, dub, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_ref[:] += jnp.sum(du, axis=0, keepdims=True)
+    dhn = jax.lax.dot_general(
+        dub, w1_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dg_ref[:] += jnp.sum(dhn * hbar, axis=0, keepdims=True)
+    db_ref[:] += jnp.sum(dhn, axis=0, keepdims=True)
+    dh = dhn * gam
+    # LayerNorm vjp (eps inside rsqrt; var through both mean terms)
+    dx_ln = r * (dh - jnp.mean(dh, axis=-1, keepdims=True)
+                 - hbar * jnp.mean(dh * hbar, axis=-1, keepdims=True))
+    dx_ref[:] = (dout + dx_ln).astype(dx_ref.dtype)
+
+
+def mlp_bwd_fits(c: int, hidden: int, t: int) -> bool:
+    """Whether the analytic bwd kernel's accumulators + activations fit the
+    scoped-VMEM budget (fp32 dW1/dW2 are the large fixed cost)."""
+    acc = 2 * c * hidden * 4 + (2 * c + 2 * hidden) * 4
+    act = t * (c * 24 + hidden * 16)
+    return acc + act <= 12 * 1024 * 1024
+
+
+def mlp_bwd_call(x2d, ln_gamma, ln_beta, w1, b1, w2, g2d):
+    """Analytic MLP-half backward over flattened tokens.
+
+    Returns (dx2d, dgamma, dbeta, dw1, db1, dw2, db2) or None when the
+    kernel doesn't fit (caller falls back to the XLA vjp)."""
+    n, c = x2d.shape
+    hidden = w1.shape[1]
+    t = _pick_token_tile(n, c, hidden)
+    while t >= 8 and not mlp_bwd_fits(c, hidden, t):
+        t //= 2
+    if (jax.default_backend() != "tpu" and not INTERPRET) or t < 8 \
+            or not mlp_bwd_fits(c, hidden, t):
+        return None
+
+    vec = lambda v: v.reshape(1, -1)
+    grid = (n // t,)
+    cix = lambda r: (0, 0)
+    outs = pl.pallas_call(
+        _mlp_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t, c), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gamma
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # beta
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2
+            pl.BlockSpec((t, c), lambda r: (r, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t, c), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, hidden), cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, c), cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), cix, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), x2d.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * c * hidden * 2, bytes_accessed=4 * n * c * 2,
+            transcendentals=2 * n * hidden),
+        interpret=INTERPRET,
+    )(x2d, vec(ln_gamma), vec(ln_beta), w1, vec(b1), w2, g2d)
+    dx, dg_, db_, dw1, db1_, dw2, db2_ = outs
+    return (dx, dg_[0], db_[0], dw1, db1_[0], dw2, db2_[0])
+
+
 def _bwd(residuals, g):
     x, ln_gamma, ln_beta, w1, b1, w2, b2 = residuals
-    _, vjp = jax.vjp(mlp_block_xla, x, ln_gamma, ln_beta, w1, b1, w2, b2)
-    return vjp(g)
+    b, L, c = x.shape
+    res = mlp_bwd_call(x.reshape(b * L, c), ln_gamma, ln_beta, w1, b1, w2,
+                       g.reshape(b * L, c).astype(x.dtype))
+    if res is None:
+        _, vjp = jax.vjp(mlp_block_xla, x, ln_gamma, ln_beta, w1, b1, w2, b2)
+        return vjp(g)
+    dx, dg_, db_, dw1, db1_, dw2, db2_ = res
+    # cotangent dtypes must match the primals (weights may arrive bf16)
+    return (dx.reshape(b, L, c).astype(x.dtype), dg_.astype(ln_gamma.dtype),
+            db_.astype(ln_beta.dtype), dw1.astype(w1.dtype),
+            db1_.astype(b1.dtype), dw2.astype(w2.dtype),
+            db2_.astype(b2.dtype))
 
 
 fused_mlp_block.defvjp(_fwd, _bwd)

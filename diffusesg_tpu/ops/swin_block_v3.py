@@ -137,7 +137,7 @@ def _norm_nogb(x, eps=1e-6):
 
 def _kernel(x_ref, ss_ref, wqkv_ref, bqkv_ref, wproj_ref,
             bproj_ref, relp_ref, hm_ref, mask_ref, mlp_refs, o_ref,
-            *, window, num_heads, n_win, rb, rp, P, G):
+            y_ref=None, *, window, num_heads, n_win, rb, rp, P, G):
     c = x_ref.shape[-1]
     wdim = x_ref.shape[2]
     L = window * window
@@ -222,6 +222,9 @@ def _kernel(x_ref, ss_ref, wqkv_ref, bqkv_ref, wproj_ref,
     proj = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
     y = a + proj + bproj_ref[0].astype(jnp.float32)
 
+    if y_ref is not None:  # save the attn-half output for the backward pass
+        y_ref[:] = y.reshape(rb, rp * window, wdim, c).astype(y_ref.dtype)
+
     if mlp_refs is not None:
         w1_ref, bb1_ref, w2_ref, bb2_ref = mlp_refs
         hn2 = _norm_nogb(y)
@@ -253,12 +256,17 @@ def fused_swin_block_v3(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj,
 
 def _fwd_impl(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
               rel_bias, mask, ln2_g, ln2_b, w1, b1, w2, b2,
-              num_heads, window):
-    if jax.default_backend() != "tpu" and not INTERPRET:
-        return swin_block_xla(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj,
-                              bproj, rel_bias, mask, ln2_g, ln2_b, w1, b1,
-                              w2, b2, num_heads, window)
+              num_heads, window, save_y=False):
     b, h, w, c = x.shape
+    if jax.default_backend() != "tpu" and not INTERPRET:
+        from .swin_block_kernel import swin_attn_block_xla
+        from .mlp_block_kernel import mlp_block_xla
+        y = swin_attn_block_xla(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv,
+                                wproj, bproj, rel_bias, mask,
+                                num_heads=num_heads, window=window)
+        out = mlp_block_xla(y.reshape(b, h * w, c), ln2_g, ln2_b, w1, b1,
+                            w2, b2).reshape(b, h, w, c)
+        return (out, y) if save_y else out
     n_win = w // window
     L = window * window
     hd = c // num_heads
@@ -267,9 +275,10 @@ def _fwd_impl(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
     n_grp = num_heads // G
     if mask is not None and (rp * n_win) % P != 0:
         # shifted-window pairs must not straddle tile boundaries
-        return fused_swin_block_v2(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv,
-                                   wproj, bproj, rel_bias, mask, ln2_g, ln2_b,
-                                   w1, b1, w2, b2, num_heads, window)
+        out = fused_swin_block_v2(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv,
+                                  wproj, bproj, rel_bias, mask, ln2_g, ln2_b,
+                                  w1, b1, w2, b2, num_heads, window)
+        return (out, None) if save_y else out
     grid = (b // rb, h // (rp * window))
 
     relp = _build_relp(rel_bias, L, P, G, n_grp)
@@ -311,6 +320,8 @@ def _fwd_impl(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
         args += [w1_eff, vec(b1_eff), w2, vec(b2)]
 
+    dual_out = save_y and fuse_mlp
+
     def kernel(*refs):
         xr, ssr, wqr, bqr, wpr, bpr, rgr, hmr = refs[:8]
         idx = 8
@@ -322,46 +333,364 @@ def _fwd_impl(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
         if fuse_mlp:
             mlp_refs = refs[idx:idx + 4]
             idx += 4
+        yr = refs[idx + 1] if dual_out else None
         _kernel(xr, ssr, wqr, bqr, wpr, bpr, rgr, hmr, mr, mlp_refs,
-                refs[idx], window=window, num_heads=num_heads,
+                refs[idx], yr, window=window, num_heads=num_heads,
                 n_win=n_win, rb=rb, rp=rp, P=P, G=G)
 
     flops = (b * h * w * c * 4 * c * 2
              + (b * h * w * c * hidden * 4 if fuse_mlp else 0)
              + b * (h * w // L // P) * n_grp
              * 3 * (P * L) * (G * P * L) * (G * hd) * 2)
+    ospec = pl.BlockSpec((rb, rp * window, w, c), lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct(x.shape, x.dtype)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((rb, rp * window, w, c),
-                               lambda bi, r: (bi, r, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_specs=[ospec, ospec] if dual_out else ospec,
+        out_shape=[oshape, oshape] if dual_out else oshape,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=b * h * w * (G * L + (hidden if fuse_mlp else 0))),
         interpret=INTERPRET,
     )(*args)
+    if dual_out:
+        out, y = out
+        return out, y
     if not fuse_mlp:
         from .mlp_block_kernel import fused_mlp_block
-        out = fused_mlp_block(out.reshape(b, h * w, c), ln2_g, ln2_b,
+        y = out
+        out = fused_mlp_block(y.reshape(b, h * w, c), ln2_g, ln2_b,
                               w1, b1, w2, b2).reshape(b, h, w, c)
+        if save_y:
+            return out, y
+    elif save_y:  # unreachable (dual_out covers it), kept for clarity
+        return out, None
     return out
+
+
+def _silu_grad(p):
+    s = jax.nn.sigmoid(p)
+    return s * (1.0 + p * (1.0 - s))
+
+
+def _attn_bwd_kernel(x_ref, ss_ref, g1_ref, b1n_ref, wqkv_ref, bqkv_ref,
+                     wproj_ref, relp_ref, hm_ref, mask_ref, dy_ref,
+                     dx_ref, dss_ref, dg1_ref, db1_ref, dwq_ref, dbq_ref,
+                     dwp_ref, dbp_ref, drelp_ref,
+                     *, window, num_heads, n_win, rb, rp, P, G, eps=1e-6):
+    """Analytic backward of the attention half:
+    y = a + proj(attention(qkv(LN(a)))) with a = silu(affine(x)).
+
+    Recomputes the forward in-VMEM (flash-attention-style) and accumulates
+    weight/LN/rel-bias grads into constant-index output blocks."""
+    c = x_ref.shape[-1]
+    wdim = x_ref.shape[2]
+    L = window * window
+    T = rp * window * wdim
+    Tt = rb * T
+    nh, hd = num_heads, c // num_heads
+    n_grp = nh // G
+    att_scale = hd ** -0.5
+    nw_t = rb * rp * n_win
+    dt = x_ref.dtype
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        for ref in (dg1_ref, db1_ref, dwq_ref, dbq_ref, dwp_ref, dbp_ref,
+                    drelp_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init_ss():
+        dss_ref[:] = jnp.zeros_like(dss_ref)
+
+    def to_w(t2d):
+        k = t2d.shape[-1]
+        return (t2d.reshape(rb * rp, window, n_win, window, k)
+                .transpose(0, 2, 1, 3, 4).reshape(Tt, k))
+
+    def from_w(t2d):
+        k = t2d.shape[-1]
+        return (t2d.reshape(rb * rp, n_win, window, window, k)
+                .transpose(0, 2, 1, 3, 4).reshape(Tt, k))
+
+    x = x_ref[:]
+    # ---- forward recompute (with EXPLICIT gamma/beta, not folded) ----
+    pre_parts, a_parts = [], []
+    for rbi in range(rb):
+        ss = ss_ref[rbi, 0].astype(jnp.float32)
+        xi = x[rbi].astype(jnp.float32)
+        pre = (ss[c:] + xi * (ss[:c] + 1.0)).reshape(T, c)
+        pre_parts.append(pre)
+        a_parts.append(jax.nn.silu(pre))
+    a = jnp.concatenate(a_parts, axis=0) if rb > 1 else a_parts[0]
+    mean = jnp.mean(a, axis=-1, keepdims=True)
+    var = jnp.mean((a - mean) ** 2, axis=-1, keepdims=True)
+    r_ = jax.lax.rsqrt(var + eps)
+    hbar = (a - mean) * r_
+    gam = g1_ref[0].astype(jnp.float32)
+    hn = (hbar * gam + b1n_ref[0].astype(jnp.float32)).astype(dt)
+    hn_w = to_w(hn) if n_win > 1 else hn
+    qkv = jnp.dot(hn_w, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv_w = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(dt)
+    hm = hm_ref[:]
+
+    dy_parts = []
+    for rbi in range(rb):
+        dy_parts.append(dy_ref[rbi].astype(jnp.float32).reshape(T, c))
+    dyf = jnp.concatenate(dy_parts, axis=0) if rb > 1 else dy_parts[0]
+    dyb = dyf.astype(dt)
+    dattn = jax.lax.dot_general(  # dy @ Wp^T
+        dyb, wproj_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dattn_w = (to_w(dattn.astype(dt)) if n_win > 1
+               else dattn.astype(dt))  # [Tt, C] bf16, window order
+
+    attn_parts, dqkv_parts = [], []
+    for pi in range(nw_t // P):
+        blk = qkv_w[pi * P * L:(pi + 1) * P * L]
+        dO_blk = dattn_w[pi * P * L:(pi + 1) * P * L].astype(jnp.float32)
+        o_grp, dq_grp, dk_grp, dv_grp = [], [], [], []
+        for gg in range(n_grp):
+            o0 = gg * G * hd
+            q = (blk[:, o0:o0 + G * hd].astype(jnp.float32)
+                 * att_scale).astype(dt)
+            k = blk[:, c + o0:c + o0 + G * hd]
+            v = blk[:, 2 * c + o0:2 * c + o0 + G * hd]
+            kcat = jnp.concatenate([k] * G, axis=0) if G > 1 else k
+            vcat = jnp.concatenate([v] * G, axis=0) if G > 1 else v
+            khat = kcat * hm
+            vhat = vcat * hm
+            s = jax.lax.dot_general(
+                q, khat, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s + relp_ref[gg]
+            if mask_ref is not None:
+                s = s + mask_ref[pi % (rp * n_win // P)]
+            ef = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            e = ef.astype(dt)
+            num = jax.lax.dot_general(
+                e, vhat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            den_cols = [jnp.sum(ef[:, g * P * L:(g + 1) * P * L], axis=-1,
+                                keepdims=True) for g in range(G)]
+            den = jnp.concatenate(
+                [jnp.broadcast_to(d, (P * L, hd)) for d in den_cols],
+                axis=-1) if G > 1 else jnp.broadcast_to(den_cols[0],
+                                                        (P * L, hd))
+            den = jnp.maximum(den, 1e-30)
+            O = num / den
+            o_grp.append(O.astype(dt))
+
+            dO = dO_blk[:, o0:o0 + G * hd]
+            dnum = (dO / den)
+            dnumb = dnum.astype(dt)
+            # dden per head: -sum_d(dO * O) / den  (hd-wide, same per lane)
+            dden_g = [
+                -jnp.sum((dO * O)[:, g * hd:(g + 1) * hd], axis=-1,
+                         keepdims=True)
+                / den_cols[g] for g in range(G)]
+            de = jax.lax.dot_general(  # dnum @ Vhat^T
+                dnumb, vhat, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dden_cols = jnp.concatenate(
+                [jnp.broadcast_to(dden_g[g], (P * L, P * L))
+                 for g in range(G)], axis=-1) if G > 1 else \
+                jnp.broadcast_to(dden_g[0], (P * L, P * L))
+            dS = ef * (de + dden_cols)
+            drelp_ref[gg] += dS
+            dSb = dS.astype(dt)
+            dqs = jax.lax.dot_general(  # dS @ Khat
+                dSb, khat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dkhat = jax.lax.dot_general(  # dS^T @ q
+                dSb, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [G*P*L, G*hd]
+            dvhat = jax.lax.dot_general(  # e^T @ dnum
+                e, dnumb, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq_grp.append(dqs * att_scale)
+            dk_grp.append(jnp.concatenate(
+                [dkhat[g * P * L:(g + 1) * P * L, g * hd:(g + 1) * hd]
+                 for g in range(G)], axis=-1) if G > 1
+                else dkhat[:, :hd])
+            dv_grp.append(jnp.concatenate(
+                [dvhat[g * P * L:(g + 1) * P * L, g * hd:(g + 1) * hd]
+                 for g in range(G)], axis=-1) if G > 1
+                else dvhat[:, :hd])
+        attn_parts.append(jnp.concatenate(o_grp, axis=-1)
+                          if n_grp > 1 else o_grp[0])
+        dqkv_parts.append(jnp.concatenate(dq_grp + dk_grp + dv_grp, axis=-1))
+    attn_w = (jnp.concatenate(attn_parts, axis=0)
+              if len(attn_parts) > 1 else attn_parts[0])  # [Tt, C] bf16
+    dqkv = (jnp.concatenate(dqkv_parts, axis=0)
+            if len(dqkv_parts) > 1 else dqkv_parts[0])  # [Tt, 3C] fp32
+
+    attn = from_w(attn_w) if n_win > 1 else attn_w
+    dwp_ref[:] += jax.lax.dot_general(  # attn^T @ dy
+        attn, dyb, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbp_ref[:] += jnp.sum(dyf, axis=0, keepdims=True)
+
+    dqkvb = dqkv.astype(dt)
+    dwq_ref[:] += jax.lax.dot_general(  # hn_w^T @ dqkv
+        hn_w, dqkvb, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbq_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dhn_w = jax.lax.dot_general(  # dqkv @ Wq^T
+        dqkvb, wqkv_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dhn = from_w(dhn_w.astype(jnp.float32)) if n_win > 1 else dhn_w
+    dg1_ref[:] += jnp.sum(dhn * hbar, axis=0, keepdims=True)
+    db1_ref[:] += jnp.sum(dhn, axis=0, keepdims=True)
+    dh = dhn * gam
+    da = dyf + r_ * (dh - jnp.mean(dh, axis=-1, keepdims=True)
+                     - hbar * jnp.mean(dh * hbar, axis=-1, keepdims=True))
+
+    dx_parts, dss_rows = [], []
+    for rbi in range(rb):
+        ss = ss_ref[rbi, 0].astype(jnp.float32)
+        xi = x[rbi].astype(jnp.float32).reshape(T, c)
+        pre = pre_parts[rbi]
+        dpre = da[rbi * T:(rbi + 1) * T] * _silu_grad(pre)
+        dx_parts.append((dpre * (ss[:c] + 1.0)).reshape(rp * window, wdim, c))
+        dscale = jnp.sum(dpre * xi, axis=0, keepdims=True)
+        dshift = jnp.sum(dpre, axis=0, keepdims=True)
+        dss_rows.append(jnp.concatenate([dscale, dshift], axis=-1))  # [1, 2C]
+    dx_ref[:] = (jnp.stack(dx_parts, axis=0)
+                 if rb > 1 else dx_parts[0][None]).astype(dx_ref.dtype)
+    dss_ref[:] += (jnp.stack(dss_rows, axis=0)
+                   if rb > 1 else dss_rows[0][None])
+
+
+def _attn_bwd_fits(c, hd, Tt, P, L, G, n_grp):
+    acc = (3 * c * c + c * c) * 4 + n_grp * (P * L) * (G * P * L) * 4
+    act = Tt * c * 60  # a/hbar/hn/qkv/dqkv/dy/attn fp32+bf16 copies
+    pair = (P * L) * (G * P * L) * 16  # s/ef/dS/de transients
+    return acc + act + pair <= 12 * 1024 * 1024
+
+
+def _attn_bwd_call(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj,
+                   rel_bias, mask, dy, num_heads, window):
+    """Pallas attention-half backward.  Returns grads or None (no fit)."""
+    b, h, w, c = x.shape
+    n_win = w // window
+    L = window * window
+    hd = c // num_heads
+    rb, rp, P, G, _ = _plan_v3(b, h, w, c, window, num_heads, 4 * c)
+    n_grp = num_heads // G
+    Tt = rb * rp * window * w
+    if mask is not None and (rp * n_win) % P != 0:
+        return None
+    if not _attn_bwd_fits(c, hd, Tt, P, L, G, n_grp):
+        return None
+    grid = (b // rb, h // (rp * window))
+    relp = _build_relp(rel_bias, L, P, G, n_grp)
+    hm = jnp.asarray(_headmask(L, P, G, hd), x.dtype)
+    ss3 = scale_shift.reshape(b, 1, 2 * c)
+    vec = lambda v: v.reshape(1, -1)
+
+    tile = pl.BlockSpec((rb, rp * window, w, c), lambda bi, r: (bi, r, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    cix2 = lambda bi, r: (0, 0)
+    cix3 = lambda bi, r: (0, 0, 0)
+    in_specs = [tile,
+                pl.BlockSpec((rb, 1, 2 * c), lambda bi, r: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                full, full, full, full, full, full, full]
+    args = [x, ss3, vec(ln1_g), vec(ln1_b), wqkv, vec(bqkv), wproj, relp, hm]
+    has_mask = mask is not None
+    if has_mask:
+        maskp = _build_maskp(mask, L, P, G)
+        pairs_tile = rp * n_win // P
+        in_specs.append(pl.BlockSpec((pairs_tile, P * L, G * P * L),
+                                     lambda bi, r: (r, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(maskp)
+    in_specs.append(tile)  # dy
+    args.append(dy)
+
+    def kernel(*refs):
+        xr, ssr, g1r, b1r, wqr, bqr, wpr, rgr, hmr = refs[:9]
+        idx = 9
+        mr = None
+        if has_mask:
+            mr = refs[idx]
+            idx += 1
+        dyr = refs[idx]
+        outs = refs[idx + 1:idx + 10]
+        _attn_bwd_kernel(xr, ssr, g1r, b1r, wqr, bqr, wpr, rgr, hmr, mr, dyr,
+                         *outs, window=window, num_heads=num_heads,
+                         n_win=n_win, rb=rb, rp=rp, P=P, G=G)
+
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            tile,                                            # dx
+            pl.BlockSpec((rb, 1, 2 * c), lambda bi, r: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),           # dss
+            pl.BlockSpec((1, c), cix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), cix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), cix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), cix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), cix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), cix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_grp, P * L, G * P * L), cix3,
+                         memory_space=pltpu.VMEM),           # drelp
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((b, 1, 2 * c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((c, 3 * c), f32),
+            jax.ShapeDtypeStruct((1, 3 * c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((n_grp, P * L, G * P * L), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * h * w * c * 4 * c * 2,
+            bytes_accessed=4 * x.size * x.dtype.itemsize,
+            transcendentals=b * h * w * G * L),
+        interpret=INTERPRET,
+    )(*args)
+    dx, dss3, dg1, db1, dwq, dbq, dwp, dbp, drelp = outs
+    # fold drelp back to the [nH, L, L] bias layout:
+    # relp[gg, p*L+i, g*P*L + p*L+j] <- rel[gg*G+g, i, j]
+    drel = jnp.zeros_like(rel_bias)
+    for gg in range(n_grp):
+        for g in range(G):
+            acc = sum(drelp[gg, p * L:(p + 1) * L,
+                            g * P * L + p * L: g * P * L + (p + 1) * L]
+                      for p in range(P))
+            drel = drel.at[gg * G + g].set(acc.astype(rel_bias.dtype))
+    return (dx, dss3.reshape(b, 2 * c).astype(scale_shift.dtype),
+            dg1[0], db1[0], dwq.astype(wqkv.dtype), dbq[0],
+            dwp.astype(wproj.dtype), dbp[0], drel)
 
 
 def _fwd(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj, rel_bias,
          mask, ln2_g, ln2_b, w1, b1, w2, b2, num_heads, window):
-    out = _fwd_impl(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
-                    rel_bias, mask, ln2_g, ln2_b, w1, b1, w2, b2,
-                    num_heads, window)
+    out, y = _fwd_impl(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
+                       rel_bias, mask, ln2_g, ln2_b, w1, b1, w2, b2,
+                       num_heads, window, save_y=True)
     return out, (x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
-                 rel_bias, mask, ln2_g, ln2_b, w1, b1, w2, b2)
+                 rel_bias, mask, ln2_g, ln2_b, w1, b1, w2, b2, y)
 
 
-def _bwd(num_heads, window, residuals, g):
+def _bwd_xla(num_heads, window, residuals, g):
     (x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj, rel_bias, mask,
-     ln2_g, ln2_b, w1, b1, w2, b2) = residuals
+     ln2_g, ln2_b, w1, b1, w2, b2, _y) = residuals
 
     def fwd(xx, ss, g1, bb1n, wq, bq, wp, bp, rel, g2, bb2n, ww1, bbb1, ww2,
             bbb2):
@@ -373,6 +702,54 @@ def _bwd(num_heads, window, residuals, g):
                      bproj, rel_bias, ln2_g, ln2_b, w1, b1, w2, b2)
     (dx, dss, dg1, db1, dwq, dbq, dwp, dbp, drel, dg2, db2, dw1, dbb1, dw2,
      dbb2) = vjp(g)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (dx, dss, dg1, db1, dwq, dbq, dwp, dbp, drel, dmask, dg2, db2,
+            dw1, dbb1, dw2, dbb2)
+
+
+def _bwd(num_heads, window, residuals, g):
+    (x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj, rel_bias, mask,
+     ln2_g, ln2_b, w1, b1, w2, b2, y) = residuals
+    on_tpu = jax.default_backend() == "tpu" or INTERPRET
+    if not on_tpu or y is None:
+        return _bwd_xla(num_heads, window, residuals, g)
+
+    from .mlp_block_kernel import mlp_bwd_call, mlp_block_xla
+    b, h, w, c = x.shape
+    n = b * h * w
+    mres = mlp_bwd_call(y.reshape(n, c), ln2_g, ln2_b, w1, b1, w2,
+                        g.reshape(n, c).astype(y.dtype))
+    if mres is None:
+        def mlp_part(yy, g2, bb2n, ww1, bbb1, ww2, bbb2):
+            return mlp_block_xla(yy.reshape(b, h * w, c), g2, bb2n, ww1,
+                                 bbb1, ww2, bbb2).reshape(b, h, w, c)
+        _, mvjp = jax.vjp(mlp_part, y, ln2_g, ln2_b, w1, b1, w2, b2)
+        dy, dg2, db2, dw1, dbb1, dw2, dbb2 = mvjp(g.astype(y.dtype))
+    else:
+        dy2d, dg2, db2, dw1, dbb1, dw2, dbb2 = mres
+        dy = dy2d.reshape(b, h, w, c)
+        dg2 = dg2.astype(ln2_g.dtype)
+        db2 = db2.astype(ln2_b.dtype)
+        dw1 = dw1.astype(w1.dtype)
+        dbb1 = dbb1.astype(b1.dtype)
+        dw2 = dw2.astype(w2.dtype)
+        dbb2 = dbb2.astype(b2.dtype)
+
+    ares = _attn_bwd_call(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj,
+                          rel_bias, mask, dy, num_heads, window)
+    if ares is None:
+        from .swin_block_kernel import swin_attn_block_xla
+
+        def attn_part(xx, ss, g1, bb1n, wq, bq, wp, bp, rel):
+            return swin_attn_block_xla(xx, ss, g1, bb1n, wq, bq, wp, bp, rel,
+                                       mask, num_heads=num_heads,
+                                       window=window)
+        y_p, avjp = jax.vjp(attn_part, x, scale_shift, ln1_g, ln1_b, wqkv,
+                            bqkv, wproj, bproj, rel_bias)
+        dx, dss, dg1, db1, dwq, dbq, dwp, dbp, drel = avjp(
+            dy.astype(y_p.dtype))
+    else:
+        dx, dss, dg1, db1, dwq, dbq, dwp, dbp, drel = ares
     dmask = None if mask is None else jnp.zeros_like(mask)
     return (dx, dss, dg1, db1, dwq, dbq, dwp, dbp, drel, dmask, dg2, db2,
             dw1, dbb1, dw2, dbb2)

@@ -1,0 +1,133 @@
+"""Analytic backward kernels vs jax.grad through the XLA compositions
+(interpret mode).  The forward kernels use tanh-GELU while the XLA
+reference uses exact erf, so gradient tolerances are ~1e-3."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusesg_tpu.ops import mlp_block_kernel as mlpk
+
+
+def _mlp_case(n, c, hidden, seed=0):
+    rs = np.random.RandomState(seed)
+    x = jnp.asarray(rs.randn(n, c), jnp.float32)
+    g = jnp.asarray(rs.randn(c) * 0.1 + 1.0, jnp.float32)
+    b = jnp.asarray(rs.randn(c) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rs.randn(c, hidden) * c ** -0.5, jnp.float32)
+    b1 = jnp.asarray(rs.randn(hidden) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rs.randn(hidden, c) * hidden ** -0.5, jnp.float32)
+    b2 = jnp.asarray(rs.randn(c) * 0.01, jnp.float32)
+    return x, g, b, w1, b1, w2, b2
+
+
+@pytest.mark.parametrize("n,c,hidden", [(512, 96, 384), (256, 192, 768),
+                                        (128, 384, 1536)])
+def test_mlp_bwd_kernel_matches_xla_grads(n, c, hidden):
+    args = _mlp_case(n, c, hidden)
+    x, g, b, w1, b1, w2, b2 = args
+    ct = jnp.asarray(np.random.RandomState(1).randn(n, c), jnp.float32)
+
+    def loss(x, g, b, w1, b1, w2, b2):
+        # tanh-GELU composition: the kernel's exact math (the erf-vs-tanh
+        # forward deviation is a separate, documented ~3e-3 approximation)
+        h = mlpk._layer_norm(x.astype(jnp.float32), g, b)
+        h = jnp.dot(h, w1) + b1
+        h = jax.nn.gelu(h, approximate=True)
+        out = x + jnp.dot(h, w2) + b2
+        return jnp.sum(out * ct)
+
+    want = jax.grad(loss, argnums=tuple(range(7)))(*args)
+
+    mlpk.INTERPRET = True
+    try:
+        got = mlpk.mlp_bwd_call(x, g, b, w1, b1, w2, ct)
+    finally:
+        mlpk.INTERPRET = False
+    assert got is not None
+    # order: dx, dgamma, dbeta, dw1, db1, dw2, db2 vs grads (x,g,b,w1,b1,w2,b2)
+    names = ["dx", "dgamma", "dbeta", "dw1", "db1", "dw2", "db2"]
+    for name, gk, gw in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gw), rtol=5e-3, atol=5e-3,
+            err_msg=name)
+
+
+def _tanh_mlp(y, g2, b2n, w1, b1, w2, b2):
+    import diffusesg_tpu.ops.mlp_block_kernel as mk
+    h = mk._layer_norm(y.astype(jnp.float32), g2, b2n)
+    h = jnp.dot(h, w1) + b1
+    h = jax.nn.gelu(h, approximate=True)
+    return y + jnp.dot(h, w2) + b2
+
+
+# subset of stage geometries: plain, shifted, multi-group, single-window
+SWIN_BWD_SHAPES = [
+    (2, 32, 32, 96, 3, 8, False),    # rp packing, G=3, n_grp=1
+    (2, 16, 16, 128, 8, 8, True),    # shifted, n_grp=2 (G=4? hd=16 -> G=8)
+    (4, 8, 8, 128, 4, 8, False),     # window covers grid: batch pairing
+    (2, 20, 20, 64, 4, 10, False),   # COCO-like L=100
+]
+
+
+@pytest.mark.parametrize("b,h,w,c,nh,window,shifted", SWIN_BWD_SHAPES)
+def test_swin_v3_analytic_bwd_matches_tanh_composition(b, h, w, c, nh,
+                                                       window, shifted):
+    from diffusesg_tpu.ops import swin_block_v3 as v3
+    from diffusesg_tpu.ops.swin_block_kernel import swin_attn_block_xla
+    from tests.test_swin_full_block import _case
+    import diffusesg_tpu.ops.mlp_block_kernel as mk
+
+    if shifted and min(h, w) <= window:
+        pytest.skip("no shift when the window covers the grid")
+    args = _case(b, h, w, c, nh, window, shifted)
+
+    def ref(*a16):
+        (x, ss, g1, b1n, wq, bq, wp, bp, rel, mask2,
+         g2, b2n, w1, bb1, w2, bb2) = a16
+        y = swin_attn_block_xla(x, ss, g1, b1n, wq, bq, wp, bp, rel,
+                                args[9], num_heads=nh, window=window)
+        out = _tanh_mlp(y.reshape(b, h * w, c), g2, b2n, w1, bb1, w2, bb2)
+        return jnp.sum(out ** 2)
+
+    def fused(*a16):
+        return jnp.sum(v3.fused_swin_block_v3(*a16, nh, window) ** 2)
+
+    argnums = (0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 14, 15)
+    gr = jax.grad(ref, argnums=argnums)(*args)
+    v3.INTERPRET = True
+    mk.INTERPRET = True
+    try:
+        gf = jax.grad(fused, argnums=argnums)(*args)
+    finally:
+        v3.INTERPRET = False
+        mk.INTERPRET = False
+    names = ["x", "ss", "ln1_g", "ln1_b", "wqkv", "bqkv", "wproj", "bproj",
+             "rel", "ln2_g", "ln2_b", "w1", "b1", "w2", "b2"]
+    for name, a, bb in zip(names, gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_fused_mlp_block_custom_vjp_uses_kernel_in_interpret():
+    n, c, hidden = 256, 96, 384
+    x, g, b, w1, b1, w2, b2 = _mlp_case(n, c, hidden)
+    x3 = x.reshape(2, n // 2, c)
+
+    def loss_fused(w1_):
+        return jnp.sum(mlpk.fused_mlp_block(x3, g, b, w1_, b1, w2, b2) ** 2)
+
+    def loss_xla(w1_):
+        h = mlpk._layer_norm(x3.astype(jnp.float32), g, b)
+        h = jnp.dot(h, w1_) + b1
+        h = jax.nn.gelu(h, approximate=True)
+        return jnp.sum((x3 + jnp.dot(h, w2) + b2) ** 2)
+
+    mlpk.INTERPRET = True
+    try:
+        gf = jax.grad(loss_fused)(w1)
+    finally:
+        mlpk.INTERPRET = False
+    gx = jax.grad(loss_xla)(w1)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=5e-3, atol=5e-3)
