@@ -187,9 +187,17 @@ def _kernel(x_ref, ss_ref, wqkv_ref, bqkv_ref, wproj_ref,
             s = s + relp_ref[gg]
             if mask_ref is not None:
                 s = s + mask_ref[pi % (rp * n_win // P)]
-            # one per-row max over ALL columns: a per-row constant shift is
-            # softmax-invariant within each head's own normalization slice
-            ef = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            # PER-HEAD row max: with a global row max, a head whose whole
+            # score block sits >87 below the max underflows to exp=0 and its
+            # denominator vanishes (observed as a mid-training NaN at
+            # extreme sigma); per-head maxes guarantee den >= 1
+            m_cols = [jnp.max(s[:, g * P * L:(g + 1) * P * L], axis=-1,
+                              keepdims=True) for g in range(G)]
+            mrow = (jnp.concatenate(
+                [jnp.broadcast_to(m, (P * L, P * L)) for m in m_cols],
+                axis=-1) if G > 1
+                else jnp.broadcast_to(m_cols[0], (P * L, P * L)))
+            ef = jnp.exp(s - mrow)
             e = ef.astype(x.dtype)
             num = jax.lax.dot_general(
                 e, vhat, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -204,11 +212,7 @@ def _kernel(x_ref, ss_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 for g in range(G)]
             den = (jnp.concatenate(den_parts, axis=-1)
                    if G > 1 else den_parts[0])  # [P*L, G*hd]
-            # floor: if one head's whole score block sits >87 below the
-            # global row max, its fp32 exps underflow to 0; the floor turns
-            # the resulting 0/0 into 0 instead of NaN (the per-head-max v2
-            # kernel and the XLA path remain the numerically exact baseline)
-            grp_outs.append((num / jnp.maximum(den, 1e-30)).astype(x.dtype))
+            grp_outs.append((num / den).astype(x.dtype))
         attn_parts.append(jnp.concatenate(grp_outs, axis=-1)
                           if n_grp > 1 else grp_outs[0])  # [P*L, C] bf16
     attn_w = (jnp.concatenate(attn_parts, axis=0)
@@ -472,7 +476,15 @@ def _attn_bwd_kernel(x_ref, ss_ref, g1_ref, b1n_ref, wqkv_ref, bqkv_ref,
             s = s + relp_ref[gg]
             if mask_ref is not None:
                 s = s + mask_ref[pi % (rp * n_win // P)]
-            ef = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            # per-head max (see forward kernel: guarantees den >= 1, no
+            # underflow-driven NaN in the divisions below)
+            m_cols = [jnp.max(s[:, g * P * L:(g + 1) * P * L], axis=-1,
+                              keepdims=True) for g in range(G)]
+            mrow = (jnp.concatenate(
+                [jnp.broadcast_to(m, (P * L, P * L)) for m in m_cols],
+                axis=-1) if G > 1
+                else jnp.broadcast_to(m_cols[0], (P * L, P * L)))
+            ef = jnp.exp(s - mrow)
             e = ef.astype(dt)
             num = jax.lax.dot_general(
                 e, vhat, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -483,7 +495,6 @@ def _attn_bwd_kernel(x_ref, ss_ref, g1_ref, b1n_ref, wqkv_ref, bqkv_ref,
                 [jnp.broadcast_to(d, (P * L, hd)) for d in den_cols],
                 axis=-1) if G > 1 else jnp.broadcast_to(den_cols[0],
                                                         (P * L, hd))
-            den = jnp.maximum(den, 1e-30)
             O = num / den
             o_grp.append(O.astype(dt))
 
