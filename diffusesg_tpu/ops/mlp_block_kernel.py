@@ -198,6 +198,104 @@ def mlp_bwd_fits(c: int, hidden: int, t: int) -> bool:
     return acc + act <= 12 * 1024 * 1024
 
 
+def _mlp_bwd_export_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                           dout_ref, dx_ref, dg_ref, db_ref, du_ref, m_ref,
+                           hn_ref, *, eps=1e-6):
+    """Export-mode backward for wide MLPs (c=768, hidden=3072): the fp32
+    dW1/dW2 accumulators alone exceed scoped VMEM, so the kernel EXPORTS
+    the intermediates (du, m, hn) and the caller runs the two weight-grad
+    matmuls in XLA (well-shaped [C,N]x[N,H] dots over HBM tensors)."""
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    x = x_ref[:].astype(jnp.float32)
+    gam = g_ref[0].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    hbar = (x - mean) * r
+    hn = (hbar * gam + b_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+    u = jnp.dot(hn, w1_ref[:], preferred_element_type=jnp.float32)
+    u = u + b1_ref[0].astype(jnp.float32)
+    m = _erf_gelu(u).astype(x_ref.dtype)
+
+    dout = dout_ref[:].astype(jnp.float32)
+    doutb = dout.astype(x_ref.dtype)
+    dm = jax.lax.dot_general(
+        doutb, w2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    du = dm * _gelu_tanh_grad(u)
+    dub = du.astype(x_ref.dtype)
+    dhn = jax.lax.dot_general(
+        dub, w1_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dg_ref[:] += jnp.sum(dhn * hbar, axis=0, keepdims=True)
+    db_ref[:] += jnp.sum(dhn, axis=0, keepdims=True)
+    dh = dhn * gam
+    dx_ln = r * (dh - jnp.mean(dh, axis=-1, keepdims=True)
+                 - hbar * jnp.mean(dh * hbar, axis=-1, keepdims=True))
+    dx_ref[:] = (dout + dx_ln).astype(dx_ref.dtype)
+    du_ref[:] = dub
+    m_ref[:] = m
+    hn_ref[:] = hn
+
+
+def _mlp_bwd_export_call(x2d, ln_gamma, ln_beta, w1, b1, w2, g2d, t):
+    n, c = x2d.shape
+    hidden = w1.shape[1]
+    vec = lambda v: v.reshape(1, -1)
+    cix = lambda r: (0, 0)
+    outs = pl.pallas_call(
+        _mlp_bwd_export_kernel,
+        grid=(n // t,),
+        in_specs=[
+            pl.BlockSpec((t, c), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, c), lambda r: (r, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t, c), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, hidden), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, hidden), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, c), lambda r: (r, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), x2d.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, hidden), x2d.dtype),
+            jax.ShapeDtypeStruct((n, hidden), x2d.dtype),
+            jax.ShapeDtypeStruct((n, c), x2d.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * c * hidden * 2,
+            bytes_accessed=n * (4 * c + 4 * hidden) * 2,
+            transcendentals=2 * n * hidden),
+        interpret=INTERPRET,
+    )(x2d, vec(ln_gamma), vec(ln_beta), w1, vec(b1), w2, g2d)
+    dx, dg_, db_, du, m, hn = outs
+    # weight grads as two clean XLA dots over the exported intermediates
+    dw1 = jax.lax.dot_general(hn, du, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db1 = jnp.sum(du.astype(jnp.float32), axis=0)
+    dw2 = jax.lax.dot_general(m, g2d, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db2 = jnp.sum(g2d.astype(jnp.float32), axis=0)
+    return dx, dg_[0], db_[0], dw1, db1, dw2, db2
+
+
 def mlp_bwd_call(x2d, ln_gamma, ln_beta, w1, b1, w2, g2d):
     """Analytic MLP-half backward over flattened tokens.
 
@@ -205,12 +303,21 @@ def mlp_bwd_call(x2d, ln_gamma, ln_beta, w1, b1, w2, g2d):
     kernel doesn't fit (caller falls back to the XLA vjp)."""
     n, c = x2d.shape
     hidden = w1.shape[1]
+    if jax.default_backend() != "tpu" and not INTERPRET:
+        return None
     t = _pick_token_tile(n, c, hidden)
     while t >= 8 and not mlp_bwd_fits(c, hidden, t):
         t //= 2
-    if (jax.default_backend() != "tpu" and not INTERPRET) or t < 8 \
-            or not mlp_bwd_fits(c, hidden, t):
-        return None
+    if t < 8 or not mlp_bwd_fits(c, hidden, t):
+        # accumulators too big (c=768/H=3072: 19MB of fp32 dW alone):
+        # export-mode kernel + XLA weight-grad dots
+        te = _pick_token_tile(n, c, hidden)
+        while te >= 8 and te * (c * 24 + hidden * 16) > 10 * 1024 * 1024:
+            te //= 2
+        if te < 8:
+            return None
+        return _mlp_bwd_export_call(x2d, ln_gamma, ln_beta, w1, b1, w2,
+                                    g2d, te)
 
     vec = lambda v: v.reshape(1, -1)
     grid = (n // t,)

@@ -384,12 +384,16 @@ def _attn_bwd_kernel(x_ref, ss_ref, g1_ref, b1n_ref, wqkv_ref, bqkv_ref,
                      wproj_ref, relp_ref, hm_ref, mask_ref, dy_ref,
                      dx_ref, dss_ref, dg1_ref, db1_ref, dwq_ref, dbq_ref,
                      dwp_ref, dbp_ref, drelp_ref,
-                     *, window, num_heads, n_win, rb, rp, P, G, eps=1e-6):
+                     *, window, num_heads, n_win, rb, rp, P, G,
+                     export_wq=False, eps=1e-6):
     """Analytic backward of the attention half:
     y = a + proj(attention(qkv(LN(a)))) with a = silu(affine(x)).
 
     Recomputes the forward in-VMEM (flash-attention-style) and accumulates
-    weight/LN/rel-bias grads into constant-index output blocks."""
+    weight/LN/rel-bias grads into constant-index output blocks.  In
+    export_wq mode (wide channels: the fp32 dWqkv accumulator alone is
+    7MB at c=768), dwq_ref/dbq_ref are instead per-tile EXPORTS of dqkv
+    and hn_w; the caller runs the dWqkv dot in XLA."""
     c = x_ref.shape[-1]
     wdim = x_ref.shape[2]
     L = window * window
@@ -403,10 +407,14 @@ def _attn_bwd_kernel(x_ref, ss_ref, g1_ref, b1n_ref, wqkv_ref, bqkv_ref,
 
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
+    acc_refs = ((dg1_ref, db1_ref, dwp_ref, dbp_ref, drelp_ref)
+                if export_wq else
+                (dg1_ref, db1_ref, dwq_ref, dbq_ref, dwp_ref, dbp_ref,
+                 drelp_ref))
+
     @pl.when(first)
     def _init():
-        for ref in (dg1_ref, db1_ref, dwq_ref, dbq_ref, dwp_ref, dbp_ref,
-                    drelp_ref):
+        for ref in acc_refs:
             ref[:] = jnp.zeros_like(ref)
 
     @pl.when(pl.program_id(1) == 0)
@@ -549,10 +557,14 @@ def _attn_bwd_kernel(x_ref, ss_ref, g1_ref, b1n_ref, wqkv_ref, bqkv_ref,
     dbp_ref[:] += jnp.sum(dyf, axis=0, keepdims=True)
 
     dqkvb = dqkv.astype(dt)
-    dwq_ref[:] += jax.lax.dot_general(  # hn_w^T @ dqkv
-        hn_w, dqkvb, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dbq_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
+    if export_wq:
+        dwq_ref[:] = dqkvb   # [Tt, 3C] per-tile export (window token order)
+        dbq_ref[:] = hn_w    # [Tt, C] export; order cancels in the dot
+    else:
+        dwq_ref[:] += jax.lax.dot_general(  # hn_w^T @ dqkv
+            hn_w, dqkvb, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbq_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
     dhn_w = jax.lax.dot_general(  # dqkv @ Wq^T
         dqkvb, wqkv_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -579,9 +591,11 @@ def _attn_bwd_kernel(x_ref, ss_ref, g1_ref, b1n_ref, wqkv_ref, bqkv_ref,
                    if rb > 1 else dss_rows[0][None])
 
 
-def _attn_bwd_fits(c, hd, Tt, P, L, G, n_grp):
-    acc = (3 * c * c + c * c) * 4 + n_grp * (P * L) * (G * P * L) * 4
+def _attn_bwd_fits(c, Tt, P, L, G, n_grp, export):
+    acc = c * c * 4 + n_grp * (P * L) * (G * P * L) * 4 \
+        + (0 if export else 3 * c * c * 4)
     act = Tt * c * 60  # a/hbar/hn/qkv/dqkv/dy/attn fp32+bf16 copies
+    act += Tt * 4 * c * 2 if export else 0  # dqkv + hn_w export tiles
     pair = (P * L) * (G * P * L) * 16  # s/ef/dS/de transients
     return acc + act + pair <= 12 * 1024 * 1024
 
@@ -595,12 +609,33 @@ def _attn_bwd_call(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj,
     hd = c // num_heads
     rb, rp, P, G, _ = _plan_v3(b, h, w, c, window, num_heads, 4 * c)
     n_grp = num_heads // G
+
+    def pick_P(rb_, rp_):
+        return 2 if (rb_ * rp_ * n_win) % 2 == 0 else 1
+
+    def geom_ok(rb_, rp_, P_):
+        return mask is None or (rp_ * n_win) % P_ == 0
+
+    export = False
     Tt = rb * rp * window * w
-    if mask is not None and (rp * n_win) % P != 0:
-        return None
-    if not _attn_bwd_fits(c, hd, Tt, P, L, G, n_grp):
-        return None
+    if not (_attn_bwd_fits(c, Tt, P, L, G, n_grp, False)
+            and geom_ok(rb, rp, P)):
+        # shrink the tile and switch to export mode (XLA dWqkv dot)
+        export = True
+        while True:
+            P = pick_P(rb, rp)
+            Tt = rb * rp * window * w
+            if _attn_bwd_fits(c, Tt, P, L, G, n_grp, True) \
+                    and geom_ok(rb, rp, P):
+                break
+            if rb > 1:
+                rb //= 2
+            elif rp > 1:
+                rp //= 2
+            else:
+                return None
     grid = (b // rb, h // (rp * window))
+    grid_r = grid[1]
     relp = _build_relp(rel_bias, L, P, G, n_grp)
     hm = jnp.asarray(_headmask(L, P, G, hd), x.dtype)
     ss3 = scale_shift.reshape(b, 1, 2 * c)
@@ -638,9 +673,26 @@ def _attn_bwd_call(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj,
         outs = refs[idx + 1:idx + 10]
         _attn_bwd_kernel(xr, ssr, g1r, b1r, wqr, bqr, wpr, rgr, hmr, mr, dyr,
                          *outs, window=window, num_heads=num_heads,
-                         n_win=n_win, rb=rb, rp=rp, P=P, G=G)
+                         n_win=n_win, rb=rb, rp=rp, P=P, G=G,
+                         export_wq=export)
 
     f32 = jnp.float32
+    Tt = rb * rp * window * w
+    n_tok = b * h * w
+    if export:
+        wq_spec = pl.BlockSpec((Tt, 3 * c),
+                               lambda bi, r: (bi * grid_r + r, 0),
+                               memory_space=pltpu.VMEM)
+        bq_spec = pl.BlockSpec((Tt, c),
+                               lambda bi, r: (bi * grid_r + r, 0),
+                               memory_space=pltpu.VMEM)
+        wq_shape = jax.ShapeDtypeStruct((n_tok, 3 * c), x.dtype)
+        bq_shape = jax.ShapeDtypeStruct((n_tok, c), x.dtype)
+    else:
+        wq_spec = pl.BlockSpec((c, 3 * c), cix2, memory_space=pltpu.VMEM)
+        bq_spec = pl.BlockSpec((1, 3 * c), cix2, memory_space=pltpu.VMEM)
+        wq_shape = jax.ShapeDtypeStruct((c, 3 * c), f32)
+        bq_shape = jax.ShapeDtypeStruct((1, 3 * c), f32)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -651,8 +703,8 @@ def _attn_bwd_call(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj,
                          memory_space=pltpu.VMEM),           # dss
             pl.BlockSpec((1, c), cix2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), cix2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 3 * c), cix2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * c), cix2, memory_space=pltpu.VMEM),
+            wq_spec,
+            bq_spec,
             pl.BlockSpec((c, c), cix2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), cix2, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_grp, P * L, G * P * L), cix3,
@@ -663,8 +715,8 @@ def _attn_bwd_call(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj,
             jax.ShapeDtypeStruct((b, 1, 2 * c), f32),
             jax.ShapeDtypeStruct((1, c), f32),
             jax.ShapeDtypeStruct((1, c), f32),
-            jax.ShapeDtypeStruct((c, 3 * c), f32),
-            jax.ShapeDtypeStruct((1, 3 * c), f32),
+            wq_shape,
+            bq_shape,
             jax.ShapeDtypeStruct((c, c), f32),
             jax.ShapeDtypeStruct((1, c), f32),
             jax.ShapeDtypeStruct((n_grp, P * L, G * P * L), f32),
@@ -676,6 +728,12 @@ def _attn_bwd_call(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj,
         interpret=INTERPRET,
     )(*args)
     dx, dss3, dg1, db1, dwq, dbq, dwp, dbp, drelp = outs
+    if export:
+        dqkv_all, hnw_all = dwq, dbq  # [n_tok, 3C] / [n_tok, C] bf16
+        dwq = jax.lax.dot_general(hnw_all, dqkv_all,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        dbq = jnp.sum(dqkv_all.astype(f32), axis=0, keepdims=True)
     # fold drelp back to the [nH, L, L] bias layout:
     # relp[gg, p*L+i, g*P*L + p*L+j] <- rel[gg*G+g, i, j]
     drel = jnp.zeros_like(rel_bias)

@@ -22,7 +22,8 @@ def _mlp_case(n, c, hidden, seed=0):
 
 
 @pytest.mark.parametrize("n,c,hidden", [(512, 96, 384), (256, 192, 768),
-                                        (128, 384, 1536)])
+                                        (128, 384, 1536),
+                                        (64, 768, 3072)])  # export mode
 def test_mlp_bwd_kernel_matches_xla_grads(n, c, hidden):
     args = _mlp_case(n, c, hidden)
     x, g, b, w1, b1, w2, b2 = args
@@ -67,6 +68,7 @@ SWIN_BWD_SHAPES = [
     (2, 16, 16, 128, 8, 8, True),    # shifted, n_grp=2 (G=4? hd=16 -> G=8)
     (4, 8, 8, 128, 4, 8, False),     # window covers grid: batch pairing
     (2, 20, 20, 64, 4, 10, False),   # COCO-like L=100
+    (2, 8, 8, 768, 24, 8, False),    # VG deepest width: export-dqkv mode
 ]
 
 
@@ -107,6 +109,38 @@ def test_swin_v3_analytic_bwd_matches_tanh_composition(b, h, w, c, nh,
     for name, a, bb in zip(names, gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_swin_v3_bwd_finite_under_extreme_score_spread():
+    """Regression for the mid-training NaN: with one head's scores blown up
+    (>87 above the others), forward AND gradients must stay finite — the
+    per-head softmax max guarantees every head's denominator >= 1."""
+    from diffusesg_tpu.ops import swin_block_v3 as v3
+    from tests.test_swin_full_block import _case
+    import diffusesg_tpu.ops.mlp_block_kernel as mk
+
+    b, h, w, c, nh, window = 2, 16, 16, 64, 2, 8
+    args = list(_case(b, h, w, c, nh, window, shifted=False))
+    wqkv = np.array(args[4])
+    wqkv[:, : c // 2] *= 500.0  # head 0 q-scale blow-up
+    args[4] = jnp.asarray(wqkv)
+
+    def loss(x, wq):
+        a = list(args)
+        a[0], a[4] = x, wq
+        return jnp.sum(v3.fused_swin_block_v3(*a, nh, window) ** 2)
+
+    v3.INTERPRET = True
+    mk.INTERPRET = True
+    try:
+        val, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(
+            args[0], args[4])
+    finally:
+        v3.INTERPRET = False
+        mk.INTERPRET = False
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(gx, np.float32)).all()
+    assert np.isfinite(np.asarray(gw, np.float32)).all()
 
 
 def test_fused_mlp_block_custom_vjp_uses_kernel_in_interpret():
