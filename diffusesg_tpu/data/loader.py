@@ -72,6 +72,32 @@ class Batches:
         return -(-n // self.batch_size)
 
 
+def prefetch_to_device(iterator, put_fn, size: int = 2) -> Iterator:
+    """Keep ``size`` batches in flight ahead of consumption.
+
+    ``put_fn`` maps a host batch to device buffers (e.g. a sharded
+    ``jax.device_put``); since device_put is async on TPU, issuing it one
+    batch early overlaps the host->device copy with the previous step's
+    compute.  This is the TPU-native analogue of the reference DataLoader's
+    worker prefetching (reference: DiffuseSG/utils/dataloader.py:29-32).
+    """
+    import collections
+    import itertools
+
+    buf = collections.deque()
+    it = iter(iterator)
+
+    def _fill(n):
+        for item in itertools.islice(it, n):
+            buf.append(put_fn(item))
+
+    _fill(size)
+    while buf:
+        out = buf.popleft()
+        _fill(1)
+        yield out
+
+
 def split_eval_set(data: SceneGraphData, total_samples: int, seed: int = 0) -> SceneGraphData:
     """Subset / repeat the test set to hit ``total_samples``
     (reference: runner/sampler/sampler_utils.py:8-41)."""

@@ -15,7 +15,7 @@ import time
 import jax
 import numpy as np
 
-from ..data.loader import Batches
+from ..data.loader import Batches, prefetch_to_device
 from ..train.train_state import TrainState, ema_slice
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging_utils import LossTxtLogger, ScalarWriter
@@ -76,9 +76,15 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
         # at epoch end (the reference blocks every step via .cpu()/.item(),
         # trainer_utils.py:36-58 — a TPU-first loop keeps the pipeline full)
         ep_metrics = []
-        for adjs, nodes, flags, _ids in train_batches:
-            (adjs, nodes, flags), _ = _pad_batch((adjs, nodes, flags))
-            batch = shard_batch((adjs, nodes, flags), mesh)
+
+        def _put(item):
+            adjs, nodes, flags, _ids = item
+            padded, _ = _pad_batch((adjs, nodes, flags))
+            return shard_batch(padded, mesh)
+
+        # double-buffered prefetch: the next batch's H2D copy overlaps the
+        # current step's compute (device_put is async on TPU)
+        for batch in prefetch_to_device(train_batches, _put):
             rng, sub = jax.random.split(rng)
             state, metrics = sharded_step(state, sub, *batch)
             ep_metrics.append(metrics)

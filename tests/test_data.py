@@ -1,4 +1,5 @@
 """Tests for the data pipeline: synthetic schema, tensorization, batching."""
+import jax
 import numpy as np
 import pytest
 
@@ -115,6 +116,27 @@ def test_batches_repeat_to_fill():
     out = list(batches)
     assert len(out) == 1
     assert out[0][0].shape[0] == 8  # tiled 4x
+
+
+def test_prefetch_to_device_preserves_order_and_values():
+    from diffusesg_tpu.data import prefetch_to_device
+
+    data = synthetic_scene_graphs(13, 6, 10, 4, seed=5)
+    ds = build_tensors(data, 6, 10, 4, "ddpm", "ddpm")
+    batches = Batches(ds, batch_size=4, shuffle=True, seed=3)
+    direct = list(batches)
+    put_calls = []
+
+    def put(item):
+        put_calls.append(len(put_calls))
+        return jax.device_put(item)
+
+    fetched = list(prefetch_to_device(batches, put, size=2))
+    assert len(fetched) == len(direct)
+    for d, f in zip(direct, fetched):
+        for a, b in zip(d, f):
+            np.testing.assert_array_equal(a, np.asarray(b))
+    assert len(put_calls) == len(direct)
 
 
 def test_split_eval_set():
