@@ -36,6 +36,28 @@ def plot_graphs_adj(adjs, node_flags=None, save_dir=".", title="graphs.png",
     plt.close(fig)
 
 
+def draw_curved_edge_labels(pos, edge_labels, ax, rad: float = 0.1,
+                            font_size: int = 5):
+    """Place edge labels on the arc3 curve the edges are drawn with.
+
+    Straight-midpoint labels (networkx default) collapse onto each other for
+    bidirectional pairs (u->v and v->u); evaluating the quadratic Bezier the
+    FancyArrowPatch actually draws at t=0.5 separates the two directions,
+    the role of the reference's vendored helper
+    (reference: utils/nx_multi_edge.py draw_networkx_multi_edge_labels).
+    """
+    for (u, v), label in edge_labels.items():
+        (x1, y1), (x2, y2) = pos[u], pos[v]
+        # matplotlib arc3: control point sits rad*|P2-P0| perpendicular to
+        # the chord at its midpoint; Bezier(t=0.5) = midpoint + rad/2 * perp
+        mx, my = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+        dx, dy = x2 - x1, y2 - y1
+        lx, ly = mx + rad * 0.5 * dy, my - rad * 0.5 * dx
+        ax.text(lx, ly, label, fontsize=font_size, ha="center", va="center",
+                bbox=dict(boxstyle="round,pad=0.1", fc="white", ec="none",
+                          alpha=0.7), zorder=3)
+
+
 def plot_scene_graph(node_types, adjs, node_flags, idx_to_word, save_dir=".",
                      title="scene_graphs.png", flag_bin_edge: bool = False,
                      num_plots: int = 8):
@@ -80,8 +102,7 @@ def plot_scene_graph(node_types, adjs, node_flags, idx_to_word, save_dir=".",
                                 ax=ax, font_size=6)
         nx.draw_networkx_edges(g, pos, ax=ax, arrows=True,
                                connectionstyle="arc3,rad=0.1")
-        nx.draw_networkx_edge_labels(g, pos, edge_labels=edge_labels, ax=ax,
-                                     font_size=5)
+        draw_curved_edge_labels(pos, edge_labels, ax, rad=0.1, font_size=5)
     os.makedirs(save_dir, exist_ok=True)
     fig.savefig(os.path.join(save_dir, title), dpi=100, bbox_inches="tight")
     plt.close(fig)
