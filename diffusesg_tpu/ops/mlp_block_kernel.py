@@ -192,9 +192,12 @@ def _mlp_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, dout_ref,
 
 def mlp_bwd_fits(c: int, hidden: int, t: int) -> bool:
     """Whether the analytic bwd kernel's accumulators + activations fit the
-    scoped-VMEM budget (fp32 dW1/dW2 are the large fixed cost)."""
-    acc = 2 * c * hidden * 4 + (2 * c + 2 * hidden) * 4
-    act = t * (c * 24 + hidden * 16)
+    scoped-VMEM budget (fp32 dW1/dW2 are the large fixed cost).  Lane dims
+    are padded to 128 the way Mosaic tiles them (c=96 allocates 128 lanes)."""
+    cp = -(-c // 128) * 128
+    hp = -(-hidden // 128) * 128
+    acc = c * hp * 4 + hp * cp * 4 + (2 * cp + 2 * hp) * 4
+    act = t * (cp * 24 + hp * 16)
     return acc + act <= 12 * 1024 * 1024
 
 

@@ -591,13 +591,30 @@ def _attn_bwd_kernel(x_ref, ss_ref, g1_ref, b1n_ref, wqkv_ref, bqkv_ref,
                    if rb > 1 else dss_rows[0][None])
 
 
+def _pad_lane(n):
+    return -(-n // 128) * 128
+
+
 def _attn_bwd_fits(c, Tt, P, L, G, n_grp, export):
-    acc = c * c * 4 + n_grp * (P * L) * (G * P * L) * 4 \
-        + (0 if export else 3 * c * c * 4)
-    act = Tt * c * 60  # a/hbar/hn/qkv/dqkv/dy/attn fp32+bf16 copies
-    act += Tt * 4 * c * 2 if export else 0  # dqkv + hn_w export tiles
-    pair = (P * L) * (G * P * L) * 16  # s/ef/dS/de transients
-    return acc + act + pair <= 12 * 1024 * 1024
+    """Scoped-VMEM estimate with Mosaic tiling PADDING: lane (last) dims
+    round up to 128, score sublanes to 8.  The unpadded model undercounted
+    COCO's c=96 / L=100 stages by ~45% (real 17.7M vs 11.2M estimated) and
+    tripped the 16M scoped limit at compile; coefficients calibrated so the
+    40x40 failure reproduces and all measured-good VG tilings keep fitting."""
+    cp = _pad_lane(c)
+    c3p = _pad_lane(3 * c)
+    sl = _pad_lane(G * P * L)
+    sr = -(-(P * L) // 8) * 8
+    acc = c * cp * 4 + n_grp * sr * sl * 4 \
+        + (0 if export else c * c3p * 4)
+    act = Tt * (cp * 44 + c3p * 10)  # a/hbar/hn/dy fp32 + qkv/dqkv copies
+    act += Tt * (c3p + cp) * 2 if export else 0  # dqkv + hn_w export tiles
+    pair = sr * sl * 16  # s/ef/dS/de transients
+    # the estimate underpredicts real scoped usage by ~15% (measured on the
+    # COCO 40x40 OOM); export mode streams its big tensors so its true
+    # footprint tracks the estimate closer — give it a slightly looser cap
+    cap = 13.2 if export else 13.0
+    return acc + act + pair <= int(cap * 1024 * 1024)
 
 
 def _attn_bwd_call(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj,
@@ -614,26 +631,41 @@ def _attn_bwd_call(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj,
         return 2 if (rb_ * rp_ * n_win) % 2 == 0 else 1
 
     def geom_ok(rb_, rp_, P_):
+        if (P_ * L) % 8 != 0:
+            # score rows must be sublane-aligned: P=1 with L=100 (window 10)
+            # puts pair boundaries at row 100 — Mosaic rejects the resulting
+            # concat offsets ("offset mismatch on non-concat dimension")
+            return False
         return mask is None or (rp_ * n_win) % P_ == 0
 
-    export = False
-    Tt = rb * rp * window * w
-    if not (_attn_bwd_fits(c, Tt, P, L, G, n_grp, False)
-            and geom_ok(rb, rp, P)):
-        # shrink the tile and switch to export mode (XLA dWqkv dot)
-        export = True
+    def _search(rb0, rp0, export):
+        """Largest (rb, rp) <= (rb0, rp0) that fits; None if even 1x1 fails."""
+        rb_, rp_ = rb0, rp0
         while True:
-            P = pick_P(rb, rp)
-            Tt = rb * rp * window * w
-            if _attn_bwd_fits(c, Tt, P, L, G, n_grp, True) \
-                    and geom_ok(rb, rp, P):
-                break
-            if rb > 1:
-                rb //= 2
-            elif rp > 1:
-                rp //= 2
+            P_ = pick_P(rb_, rp_)
+            Tt_ = rb_ * rp_ * window * w
+            if _attn_bwd_fits(c, Tt_, P_, L, G, n_grp, export) \
+                    and geom_ok(rb_, rp_, P_):
+                return rb_, rp_, P_
+            if rb_ > 1:
+                rb_ //= 2
+            elif rp_ > 1:
+                rp_ //= 2
             else:
                 return None
+
+    # prefer keeping the dWqkv accumulator in VMEM (non-export), shrinking
+    # the token tile if needed; only fall back to export mode (per-tile
+    # dqkv/hn streaming + XLA weight-grad dot) when even a 1x1 tile's
+    # accumulators don't fit (wide channels: c=768 dWqkv alone is 7MB)
+    export = False
+    found = _search(rb, rp, False)
+    if found is None:
+        export = True
+        found = _search(rb, rp, True)
+        if found is None:
+            return None
+    rb, rp, P = found
     grid = (b // rb, h // (rp * window))
     grid_r = grid[1]
     relp = _build_relp(rel_bias, L, P, G, n_grp)
