@@ -69,6 +69,8 @@ SWIN_BWD_SHAPES = [
     (4, 8, 8, 128, 4, 8, False),     # window covers grid: batch pairing
     (2, 20, 20, 64, 4, 10, False),   # COCO-like L=100
     (2, 8, 8, 768, 24, 8, False),    # VG deepest width: export-dqkv mode
+    (2, 10, 10, 384, 12, 10, False),  # COCO 10x10: L=100 needs P=2 (sublane
+                                      # alignment) + export mode
 ]
 
 
