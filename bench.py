@@ -9,7 +9,8 @@ torch 2.13): 732 ms / forward at batch 4 => 4/0.7322/1999 forwards =
 total).  See BASELINE.md for the measurement provenance.
 
 Env knobs: BENCH_STEPS (default 1000), BENCH_BATCH (default 64),
-BENCH_DTYPE (default bfloat16), BENCH_PALLAS (default 1).
+BENCH_DTYPE (default bfloat16), BENCH_PALLAS (default 1),
+BENCH_CONFIG (vg | coco, default vg).
 """
 from __future__ import annotations
 
@@ -40,6 +41,7 @@ def main():
     from diffusesg_tpu.models.factory import init_params
     from diffusesg_tpu.models.precond import precond_forward
     from diffusesg_tpu.sampling import get_mc_sampler
+    from diffusesg_tpu.models.channels import get_node_adj_num_type
 
     steps = int(os.environ.get("BENCH_STEPS", 1000))
     # batch 64 keeps the single 1000-step scan under the tunneled backend's
@@ -51,8 +53,13 @@ def main():
     pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     backend = jax.default_backend()
 
+    config_name = os.environ.get("BENCH_CONFIG", "vg")
+    config_file = {
+        "vg": "configs/edm_diffuse_sg_regular_visual_genome.yaml",
+        "coco": "configs/edm_diffuse_sg_regular_coco.yaml",
+    }[config_name]
     cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "configs/edm_diffuse_sg_regular_visual_genome.yaml"))
+                                   config_file))
     with cfg.unlocked():
         cfg.mcmc.num_steps = steps
         cfg.tpu.compute_dtype = dtype
@@ -69,12 +76,18 @@ def main():
             return model.apply(params, aa, xx, f, c_noise, s_a, s_x)
         return precond_forward(model_fn, "edm", a, x, flags, sigmas, sc_a, sc_x)
 
-    # joint node+edge+bbox: ddpm encoding -> 5 node channels, 1 edge channel
+    # joint node+edge+bbox channel counts from the config (ddpm encoding:
+    # 5 node channels incl. bbox, 1 edge channel for both shipped configs)
+    ch = get_node_adj_num_type(cfg.dataset.name, flag_sg=True,
+                               encoding=cfg.train.node_encoding,
+                               edge_encoding=cfg.train.edge_encoding)
+    n_node_ch, n_edge_ch = ch["num_node_type"], ch["num_adj_type"]
     if chunk:
-        fn = lambda rng: sampler.sample(denoiser, rng, flags, 5, 1,
-                                        chunk_steps=chunk)
+        fn = lambda rng: sampler.sample(denoiser, rng, flags, n_node_ch,
+                                        n_edge_ch, chunk_steps=chunk)
     else:
-        fn = jax.jit(lambda rng: sampler.sample(denoiser, rng, flags, 5, 1))
+        fn = jax.jit(lambda rng: sampler.sample(denoiser, rng, flags,
+                                                n_node_ch, n_edge_ch))
 
     import numpy as np
 
@@ -103,6 +116,7 @@ def main():
         "p50_denoise_eval_ms": round(run_s / n_evals * 1000, 3),
         "batch": batch,
         "num_steps": steps,
+        "config": config_name,
         "dtype": dtype,
         "pallas_attention": cfg.tpu.use_pallas_attention,
         "backend": backend,

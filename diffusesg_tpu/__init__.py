@@ -18,4 +18,4 @@ All shapes are static; masking is multiplicative / where-based so that every
 op is jit-safe and XLA can fuse the full pipeline.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
