@@ -64,8 +64,19 @@ def restore_checkpoint(path: str, template_state: "TrainState | None" = None) ->
         try:
             return ckptr.restore(path, template)
         except BaseException:
-            # fall back to schema-free restore (e.g. ckpt carries 'extra')
-            return ckptr.restore(path)
+            # The ckpt usually carries an 'extra' metadata dict the template
+            # doesn't know about; a schema-free restore would return
+            # opt_state as raw nested dicts (losing the optax NamedTuple
+            # structure the optimizer needs).  Restore schema-free once to
+            # learn 'extra''s exact structure, then re-restore structured.
+            raw = ckptr.restore(path)
+            if "extra" in raw:
+                template["extra"] = raw["extra"]
+                try:
+                    return ckptr.restore(path, template)
+                except BaseException:
+                    pass
+            return raw
     return ckptr.restore(path)
 
 
