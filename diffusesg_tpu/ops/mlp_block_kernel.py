@@ -299,6 +299,22 @@ def _mlp_bwd_export_call(x2d, ln_gamma, ln_beta, w1, b1, w2, g2d, t):
     return dx, dg_[0], db_[0], dw1, db1, dw2, db2
 
 
+def _legal_bwd_tiles(n: int, hidden: int) -> list[int]:
+    """Candidate token tiles for the backward kernels, largest first.
+
+    A tile is legal iff Pallas can lower its (t, C) block: t must be a
+    multiple of 8 that divides n, OR the whole axis (block == array dim).
+    Blindly halving a whole-axis tile (e.g. 300 -> 150) produced an illegal
+    block and a TPU lowering error at odd COCO batch sizes — every
+    candidate here is legal by construction.  The whole axis participates
+    only under the same ~4MB fp32-hidden budget _pick_token_tile applies.
+    """
+    cands = sorted((d for d in range(8, n, 8) if n % d == 0), reverse=True)
+    if n * hidden * 4 <= 4 * 1024 * 1024:
+        cands.insert(0, n)
+    return cands
+
+
 def mlp_bwd_call(x2d, ln_gamma, ln_beta, w1, b1, w2, g2d):
     """Analytic MLP-half backward over flattened tokens.
 
@@ -308,16 +324,16 @@ def mlp_bwd_call(x2d, ln_gamma, ln_beta, w1, b1, w2, g2d):
     hidden = w1.shape[1]
     if jax.default_backend() != "tpu" and not INTERPRET:
         return None
-    t = _pick_token_tile(n, c, hidden)
-    while t >= 8 and not mlp_bwd_fits(c, hidden, t):
-        t //= 2
-    if t < 8 or not mlp_bwd_fits(c, hidden, t):
+    cands = _legal_bwd_tiles(n, hidden)
+    t = next((d for d in cands if d * hidden * 4 <= 4 * 1024 * 1024), 0)
+    while t and not mlp_bwd_fits(c, hidden, t):
+        t = next((d for d in cands if d < t), 0)
+    if not t:
         # accumulators too big (c=768/H=3072: 19MB of fp32 dW alone):
         # export-mode kernel + XLA weight-grad dots
-        te = _pick_token_tile(n, c, hidden)
-        while te >= 8 and te * (c * 24 + hidden * 16) > 10 * 1024 * 1024:
-            te //= 2
-        if te < 8:
+        te = next((d for d in cands
+                   if d * (c * 24 + hidden * 16) <= 10 * 1024 * 1024), 0)
+        if not te:
             return None
         return _mlp_bwd_export_call(x2d, ln_gamma, ln_beta, w1, b1, w2,
                                     g2d, te)

@@ -277,6 +277,22 @@ def _fwd_impl(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
     hidden = w1.shape[1]
     rb, rp, P, G, fuse_mlp = _plan_v3(b, h, w, c, window, num_heads, hidden)
     n_grp = num_heads // G
+    if (P * L) % 8 != 0:
+        # Score-row sublane alignment, mirroring the backward's geom_ok:
+        # P=1 at window 10 (L=100) puts window boundaries at
+        # non-multiple-of-8 sublane offsets.  Reachable only with an odd
+        # batch at a full-grid stage (n_win=1, rb stuck at 1) — a rare
+        # path, so take the always-legal XLA composition rather than
+        # depend on Mosaic accepting unaligned concat offsets per shape
+        # (the backward kernels reject this geometry outright).
+        from .swin_block_kernel import swin_attn_block_xla
+        from .mlp_block_kernel import mlp_block_xla
+        y = swin_attn_block_xla(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv,
+                                wproj, bproj, rel_bias, mask,
+                                num_heads=num_heads, window=window)
+        out = mlp_block_xla(y.reshape(b, h * w, c), ln2_g, ln2_b, w1, b1,
+                            w2, b2).reshape(b, h, w, c)
+        return (out, y) if save_y else out
     if mask is not None and (rp * n_win) % P != 0:
         # shifted-window pairs must not straddle tile boundaries
         out = fused_swin_block_v2(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv,
@@ -370,8 +386,6 @@ def _fwd_impl(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
                               w1, b1, w2, b2).reshape(b, h, w, c)
         if save_y:
             return out, y
-    elif save_y:  # unreachable (dual_out covers it), kept for clarity
-        return out, None
     return out
 
 

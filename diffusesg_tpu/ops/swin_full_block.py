@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mlp_block_kernel import mlp_block_xla
+from .mlp_block_kernel import _layer_norm, mlp_block_xla
 from .swin_block_kernel import swin_attn_block_xla
 
 INTERPRET = False  # tests flip this to run the Pallas kernel on CPU (interpret)
@@ -66,12 +66,6 @@ def swin_block_xla(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
                             wproj, bproj, rel_bias, mask, num_heads, window)
     y2 = mlp_block_xla(y.reshape(b, h * w, c), ln2_g, ln2_b, w1, b1, w2, b2)
     return y2.reshape(b, h, w, c)
-
-
-def _layer_norm(x, gamma, beta, eps=1e-6):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
 
 
 def _head_group(num_heads: int, head_dim: int) -> int:

@@ -73,7 +73,19 @@ def maybe_initialize_distributed(force: bool = False) -> bool:
         _INITIALIZED = True
         logging.info("jax.distributed initialized: process %d / %d",
                      jax.process_index(), jax.process_count())
-    except Exception as e:  # single-process fallback, like the reference's
-        logging.warning("jax.distributed.initialize failed (%s); "
+    except Exception as e:
+        if rdv is not None:
+            # The user EXPLICITLY configured a multi-host rendezvous.
+            # Degrading to single-process here would let every host think
+            # it is process 0 and write the same checkpoints/CSVs/logs —
+            # silent corruption.  Fail hard instead (the reference's
+            # init_process_group raises on a failed rendezvous too,
+            # dist_training.py:100-126).
+            raise RuntimeError(
+                f"multi-host rendezvous was configured ({rdv}) but "
+                f"jax.distributed.initialize failed: {e}") from e
+        # auto-detection probe (force=True) found nothing usable:
+        # single-process is the correct interpretation
+        logging.warning("jax.distributed auto-detection failed (%s); "
                         "continuing single-process", e)
     return jax.process_count() > 1

@@ -76,6 +76,17 @@ def restore_checkpoint(path: str, template_state: "TrainState | None" = None) ->
                     return ckptr.restore(path, template)
                 except BaseException:
                     pass
+            # Still incompatible: most likely a checkpoint from an older
+            # package version with different param names.  Surface that
+            # clearly instead of letting model.apply/optimizer.update die
+            # on a cryptic tree-structure error later.
+            if (jax.tree_util.tree_structure(raw.get("params", {}))
+                    != jax.tree_util.tree_structure(template["params"])):
+                raise ValueError(
+                    f"checkpoint at {path} does not match the current model "
+                    "definition (param tree structure differs — saved by an "
+                    "older diffusesg-tpu version?); re-save it with this "
+                    "version or use matching code to load it")
             return raw
     return ckptr.restore(path)
 

@@ -21,9 +21,23 @@ def _mlp_case(n, c, hidden, seed=0):
     return x, g, b, w1, b1, w2, b2
 
 
+def test_legal_bwd_tiles_are_always_lowerable():
+    """Every candidate tile must satisfy Pallas' block rule: sublanes % 8
+    == 0 or block == array dim.  n=300 (odd COCO batch x 100 tokens) used
+    to be halved to an illegal 150-row block (TPU lowering error)."""
+    for n in [300, 100, 280, 512, 64, 24, 8, 4096, 1000]:
+        for hidden in [384, 1536, 3072]:
+            for t in mlpk._legal_bwd_tiles(n, hidden):
+                assert (t % 8 == 0 and n % t == 0) or t == n, (n, hidden, t)
+    # 300 has no multiple-of-8 divisor: whole-axis only (within budget)
+    assert mlpk._legal_bwd_tiles(300, 384) == [300]
+    assert mlpk._legal_bwd_tiles(300, 4096)[:1] != [300]  # over 4MB budget
+
+
 @pytest.mark.parametrize("n,c,hidden", [(512, 96, 384), (256, 192, 768),
                                         (128, 384, 1536),
-                                        (64, 768, 3072)])  # export mode
+                                        (64, 768, 3072),  # export mode
+                                        (300, 96, 384)])  # whole-axis tile
 def test_mlp_bwd_kernel_matches_xla_grads(n, c, hidden):
     args = _mlp_case(n, c, hidden)
     x, g, b, w1, b1, w2, b2 = args

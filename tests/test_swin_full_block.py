@@ -91,12 +91,9 @@ def test_plan_vg_stages():
     #                                                MLP weights too big
     for res, c, nh in [(64, 96, 3), (32, 192, 6), (16, 384, 12), (8, 768, 24)]:
         rb, rp, G, fuse = _plan(64, res, res, c, 8, nh, 4 * c)
-        assert (rb * rp * window_tokens(res, rp)) or True  # plan is valid
+        assert rb >= 1 and rp >= 1 and G >= 1
         assert 64 % rb == 0 and (res // 8) % rp == 0
-
-
-def window_tokens(res, rp):
-    return rp * 8 * res
+        assert rb * rp * 8 * res <= 4096  # token-tile cap the plan promises
 
 
 def test_gradients_flow_through_custom_vjp():
