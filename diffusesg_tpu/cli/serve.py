@@ -1,0 +1,151 @@
+"""Serving entry point: python -m diffusesg_tpu.cli.serve -p <ckpt-or-run-dir>
+
+Three modes (no reference counterpart — the reference's only inference
+path is the offline eval run, DiffuseSG/eval.py):
+
+* serve from a checkpoint (default): restore weights, jit the end-to-end
+  sampler+decode, warm it up, open the HTTP endpoint;
+* ``--export_to DIR``: AOT-export the compiled sampler to a portable
+  artifact (jax.export StableHLO) and exit;
+* ``--from_artifact DIR``: serve a previously exported artifact — no
+  checkpoint, no model build, just load-and-run.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+
+def build_serve_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("diffusesg-serve")
+    p.add_argument("-p", "--model_path", default=None,
+                   help="checkpoint file or run dir (with models_ckpt/)")
+    p.add_argument("-c", "--config_file", default=None)
+    p.add_argument("--from_artifact", default=None,
+                   help="serve a jax.export artifact dir instead of a ckpt")
+    p.add_argument("--export_to", default=None,
+                   help="export the sampler artifact to this dir and exit")
+    p.add_argument("--port", type=int, default=8472)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="compiled serving batch (default: config test batch)")
+    p.add_argument("--num_steps", type=int, default=None,
+                   help="sampling steps (default: config.mcmc.num_steps)")
+    p.add_argument("--ema", default=None,
+                   help="EMA beta to serve (e.g. 0.9999); 'none' = raw weights;"
+                        " default: largest beta (the reference's in-training"
+                        " sampling choice, trainer_node_adj.py:262-284)")
+    p.add_argument("--data_root", default=None,
+                   help="dataset root for label-name lookup (optional)")
+    p.add_argument("--linger_ms", type=float, default=10.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-o", "--override", action="append", default=[],
+                   help="config override key=value")
+    return p
+
+
+def _load_from_checkpoint(args):
+    """(serve_fn, batch, max_n, config) from a checkpoint/run dir."""
+    import jax
+    from ..config import load_config
+    from ..models import build_model
+    from ..sampling import get_mc_sampler
+    from ..serving.export import make_serving_fn
+    from ..train.train_state import ema_slice
+    from ..utils.checkpoint import restore_checkpoint, select_checkpoints
+    from .common import find_eval_config
+
+    config_file = args.config_file or find_eval_config(args.model_path)
+    overrides = {}
+    if args.num_steps is not None:
+        overrides["num_steps"] = args.num_steps
+    for item in args.override:
+        k, v = item.split("=", 1)
+        overrides[k] = v
+    config = load_config(config_file, overrides=overrides)
+
+    ckpt_path = args.model_path
+    if os.path.isdir(os.path.join(ckpt_path, "models_ckpt")):
+        ckpts = select_checkpoints(os.path.join(ckpt_path, "models_ckpt"),
+                                   None, None, None, 1)
+        if not ckpts:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_path}")
+        ckpt_path = ckpts[-1]
+    payload = restore_checkpoint(ckpt_path)
+    betas = np.asarray(payload["ema_betas"])
+    if args.ema == "none":
+        params = payload["params"]
+        chosen = "raw"
+    else:
+        idx = (int(np.argmin(np.abs(betas - float(args.ema))))
+               if args.ema else int(np.argmax(betas)))
+        params = ema_slice(payload["ema_params"], idx)
+        chosen = f"{float(betas[idx]):.4f}"
+    logging.info("serving %s (ema=%s)", ckpt_path, chosen)
+
+    model = build_model(config)
+    sampler = get_mc_sampler(config)
+    serve_fn = jax.jit(make_serving_fn(model, params, sampler, config))
+    batch = args.batch_size or config.test.batch_size or config.train.batch_size
+    return serve_fn, int(batch), int(config.dataset.max_node_num), config
+
+
+def main(argv=None):
+    from ..serving.server import BatchingSampler, serve
+
+    args = build_serve_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+
+    idx_to_word = None
+    config = None
+    if args.from_artifact:
+        from ..serving.export import load_artifact
+        fn, meta = load_artifact(args.from_artifact)
+        batch, max_n = int(meta["batch_size"]), int(meta["max_node_num"])
+        logging.info("loaded artifact %s (%s)", args.from_artifact, meta)
+    else:
+        if not args.model_path:
+            raise SystemExit("need -p/--model_path or --from_artifact")
+        fn, batch, max_n, config = _load_from_checkpoint(args)
+        if args.batch_size:
+            batch = args.batch_size
+
+    if args.export_to:
+        if config is None:
+            raise SystemExit("--export_to needs a checkpoint, not an artifact")
+        import jax
+        from ..serving.export import save_artifact
+        exported = jax.export.export(fn)(
+            jax.ShapeDtypeStruct((), np.int32),
+            jax.ShapeDtypeStruct((batch, max_n), bool))
+        save_artifact(args.export_to, exported, config, batch)
+        logging.info("exported sampler artifact to %s", args.export_to)
+        return
+
+    if args.data_root is not None and config is not None:
+        try:
+            from ..data import load_data
+            bundle = load_data(config, eval_mode=True, data_root=args.data_root)
+            idx_to_word = bundle.idx_to_word
+        except Exception as e:
+            logging.warning("label-name lookup unavailable: %s", e)
+
+    batcher = BatchingSampler(fn, batch, max_n, base_seed=args.seed,
+                              linger_ms=args.linger_ms)
+    logging.info("warming up (first XLA compile)...")
+    batcher.warmup()
+    httpd = serve(batcher, args.port, idx_to_word)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,36 @@ def get_node_adj_num_type(dataset_name: str, flag_sg: bool, encoding: str,
     }
 
 
+def resolve_sampling_channels(config) -> dict:
+    """Sampler-facing channel counts with the node_only / binary_edge
+    overrides the sampling orchestrator applies (reference:
+    sampler_node_adj.py:61-86 channel resolution + the implicit
+    channel-less-broadcast quirk at sampler_node_adj.py:80-83).
+
+    Returns get_node_adj_num_type's dict extended with ``num_node_chan`` /
+    ``num_adj_chan`` (what the sampler's init noise uses) and the resolved
+    ``flag_node_only`` / ``flag_binary_edge``.
+    """
+    flag_node_only = config.train.get("node_only", False)
+    flag_binary_edge = config.train.get("binary_edge", False)
+    info = get_node_adj_num_type(
+        config.dataset.name, flag_sg=True,
+        encoding=config.train.node_encoding,
+        flag_node_only=flag_node_only, flag_node_bbox=True,
+        edge_encoding=config.train.edge_encoding)
+    num_node_chan = info["num_node_type"]
+    num_adj_chan = info["num_adj_type"]
+    if flag_binary_edge:
+        num_adj_chan = 1
+    if flag_node_only:
+        # node-only packs node attrs (+bbox) onto the adj grid; the sampler's
+        # adj channel count is the real grid channel count
+        num_adj_chan = info["in_chans_adj"]
+        num_node_chan = 1  # dummy [B, N] node vector
+    return dict(info, num_node_chan=num_node_chan, num_adj_chan=num_adj_chan,
+                flag_node_only=flag_node_only, flag_binary_edge=flag_binary_edge)
+
+
 def get_node_adj_model_input_output_channels(config):
     """Model-facing channel counts (reference: sg_utils.py:412-430)."""
     info = get_node_adj_num_type(

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..data.loader import split_eval_set
 from ..eval import SceneGraphEvaluator
-from ..models.channels import get_node_adj_num_type
+from ..models.channels import resolve_sampling_channels
 from ..models.precond import precond_forward
 from ..ops.box_ops import box_cxcywh_to_xyxy
 from ..ops.masking import mask_nodes
@@ -97,29 +97,17 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
     test_dl).
     """
     cfg_test = config.test
-    flag_node_only = config.train.get("node_only", False)
-    flag_binary_edge = config.train.get("binary_edge", False)
     flag_bbox = True
     node_encoding = config.train.node_encoding
     edge_encoding = config.train.edge_encoding
 
-    info = get_node_adj_num_type(config.dataset.name, flag_sg=True,
-                                 encoding=node_encoding,
-                                 flag_node_only=flag_node_only, flag_node_bbox=flag_bbox,
-                                 edge_encoding=edge_encoding)
+    info = resolve_sampling_channels(config)
+    flag_node_only = info["flag_node_only"]
+    flag_binary_edge = info["flag_binary_edge"]
     raw_num_node_type = info["raw_num_node_type"]
     raw_num_adj_type = info["raw_num_adj_type"]
-    num_node_type = info["num_node_type"]
-    num_adj_type = info["num_adj_type"]
-    if flag_binary_edge:
-        num_adj_type = 1
-    if flag_node_only:
-        # node-only packs node attrs (+bbox) onto the adj grid; the sampler's
-        # adj channel count is the real grid channel count (the reference
-        # instead relies on an implicit torch broadcast of a channel-less
-        # initial noise, sampler_node_adj.py:80-83 + edm.py:396)
-        num_adj_type = info["in_chans_adj"]
-        num_node_type = 1  # dummy [B, N] node vector
+    num_node_type = info["num_node_chan"]
+    num_adj_type = info["num_adj_chan"]
 
     eval_size = cfg_test.eval_size
     test_data = bundle.test

@@ -1,0 +1,259 @@
+"""Micro-batching scene-graph generation server.
+
+Production-serving counterpart of the reference's offline-only inference
+(reference: DiffuseSG/eval.py + runner/sampler/sampler_node_adj.py — there
+is no server in the reference; generation means a batch eval run).  Design:
+
+* ONE compiled sampler runs at a fixed batch size (XLA static shapes);
+  the server packs concurrent requests into that batch.  A request asks
+  for ``num_graphs`` graphs with chosen (or dataset-default) node counts;
+  slots the batch doesn't fill get all-False node flags (masked noise is
+  exactly zero work for the model — the same padding the trainer uses).
+* The batcher lingers ``linger_ms`` after the first pending request so
+  bursts coalesce, then runs the batch on device and splits results.
+* Seeded requests are deterministic: a request carrying ``seed`` gets a
+  batch of its own (noise is drawn per-batch from one key, so sharing a
+  batch would couple its randomness to its neighbors).
+
+HTTP surface (stdlib ThreadingHTTPServer; JSON in/out):
+
+  POST /v1/generate   {"num_graphs": 4, "num_nodes": 12 | [12, 5, ...],
+                       "seed": 123?}  ->  {"graphs": [...], "latency_ms": ..}
+  GET  /healthz       liveness + compiled-batch info
+  GET  /v1/stats      request/graph counters, latency quantiles
+
+Each graph is {"nodes": [int], "node_names": [str]?, "bboxes": [[cx,cy,w,h]],
+"edges": [[subj, obj, predicate], ...], "edge_names": [...]?}.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+@dataclass
+class _Request:
+    flags: np.ndarray            # [k, N] bool
+    seed: int | None
+    done: threading.Event = field(default_factory=threading.Event)
+    result: list | None = None
+    error: str | None = None
+
+
+class BatchingSampler:
+    """Packs concurrent generation requests into fixed-size device batches.
+
+    ``sample_fn(seed:int32, flags:[B,N] bool) -> (adj[B,N,N] i32,
+    node[B,N] i32, bbox[B,N,4] f32)`` — the serving fn from
+    serving.export (live-jitted or loaded from an artifact).
+    """
+
+    def __init__(self, sample_fn, batch_size: int, max_node_num: int,
+                 base_seed: int = 0, linger_ms: float = 10.0):
+        self._fn = sample_fn
+        self.batch_size = batch_size
+        self.max_node_num = max_node_num
+        self._linger = linger_ms / 1e3
+        self._q: queue.Queue[_Request] = queue.Queue()
+        self._counter = base_seed
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "graphs": 0, "batches": 0,
+                      "latencies_ms": []}
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._stop = threading.Event()
+        self._worker.start()
+
+    def warmup(self):
+        """Compile the batch program before serving traffic."""
+        flags = np.zeros((self.batch_size, self.max_node_num), bool)
+        flags[:, :1] = True
+        self._call(0, flags)
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # ---------------------------------------------------------------- client
+    def generate(self, num_graphs: int, num_nodes, seed: int | None = None,
+                 timeout: float = 600.0) -> list:
+        """Blocking generate; returns a list of per-graph result dicts."""
+        if not 1 <= num_graphs <= self.batch_size:
+            raise ValueError(f"num_graphs must be in [1, {self.batch_size}]")
+        counts = (np.full(num_graphs, num_nodes, int)
+                  if np.isscalar(num_nodes) else np.asarray(num_nodes, int))
+        if len(counts) != num_graphs:
+            raise ValueError("len(num_nodes) must equal num_graphs")
+        if counts.min() < 1 or counts.max() > self.max_node_num:
+            raise ValueError(f"num_nodes must be in [1, {self.max_node_num}]")
+        flags = np.zeros((num_graphs, self.max_node_num), bool)
+        for i, c in enumerate(counts):
+            flags[i, :c] = True
+        req = _Request(flags=flags, seed=seed)
+        self._q.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.result
+
+    # ---------------------------------------------------------------- worker
+    def _next_seed(self) -> int:
+        with self._lock:
+            self._counter += 1
+            return self._counter
+
+    def _call(self, seed: int, flags: np.ndarray):
+        pad = self.batch_size - len(flags)
+        if pad:
+            flags = np.concatenate(
+                [flags, np.zeros((pad, self.max_node_num), bool)], 0)
+        adj, node, bbox = self._fn(np.int32(seed), flags)
+        return np.asarray(adj), np.asarray(node), np.asarray(bbox)
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            if first.seed is None:
+                # coalesce a burst; seeded requests ride alone (determinism)
+                deadline = time.time() + self._linger
+                used = len(first.flags)
+                while time.time() < deadline and used < self.batch_size:
+                    try:
+                        nxt = self._q.get(timeout=max(0.0, deadline - time.time()))
+                    except queue.Empty:
+                        break
+                    if nxt.seed is not None or used + len(nxt.flags) > self.batch_size:
+                        self._q.put(nxt)  # leave for the next batch
+                        break
+                    batch.append(nxt)
+                    used += len(nxt.flags)
+            t0 = time.time()
+            flags = np.concatenate([r.flags for r in batch], 0)
+            seed = batch[0].seed if batch[0].seed is not None else self._next_seed()
+            try:
+                adj, node, bbox = self._call(int(seed), flags)
+            except Exception as e:  # surface to every waiting client
+                logging.exception("batch generation failed")
+                for r in batch:
+                    r.error = f"{type(e).__name__}: {e}"
+                    r.done.set()
+                continue
+            dt_ms = (time.time() - t0) * 1e3
+            off = 0
+            for r in batch:
+                k = len(r.flags)
+                r.result = [
+                    _graph_dict(adj[off + i], node[off + i], bbox[off + i],
+                                r.flags[i])
+                    for i in range(k)]
+                off += k
+                r.done.set()
+            with self._lock:
+                self.stats["requests"] += len(batch)
+                self.stats["graphs"] += off
+                self.stats["batches"] += 1
+                self.stats["latencies_ms"].append(dt_ms)
+                del self.stats["latencies_ms"][:-1000]  # bounded history
+
+
+def _graph_dict(adj, node, bbox, flags) -> dict:
+    n = int(flags.sum())
+    edges = [[int(i), int(j), int(adj[i, j])]
+             for i in range(n) for j in range(n)
+             if i != j and adj[i, j] > 0]
+    return {"nodes": [int(v) for v in node[:n]],
+            "bboxes": [[float(x) for x in bb] for bb in bbox[:n]],
+            "edges": edges}
+
+
+def _augment_names(graphs: list, idx_to_word: dict | None) -> None:
+    if not idx_to_word:
+        return
+    classes = idx_to_word.get("ind_to_classes", [])
+    preds = idx_to_word.get("ind_to_predicates", [])
+    for g in graphs:
+        if classes:
+            g["node_names"] = [str(classes[v]) if v < len(classes) else str(v)
+                               for v in g["nodes"]]
+        if preds:
+            g["edge_names"] = [str(preds[e[2]]) if e[2] < len(preds) else str(e[2])
+                               for e in g["edges"]]
+
+
+def make_handler(batcher: BatchingSampler, idx_to_word: dict | None = None,
+                 default_num_nodes: int | None = None):
+    default_n = default_num_nodes or batcher.max_node_num
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through logging, not stderr
+            logging.debug("http: " + fmt, *args)
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok",
+                                 "batch_size": batcher.batch_size,
+                                 "max_node_num": batcher.max_node_num})
+            elif self.path == "/v1/stats":
+                with batcher._lock:
+                    lat = sorted(batcher.stats["latencies_ms"])
+                    stats = {k: v for k, v in batcher.stats.items()
+                             if k != "latencies_ms"}
+                if lat:
+                    stats["latency_ms_p50"] = lat[len(lat) // 2]
+                    stats["latency_ms_p95"] = lat[int(len(lat) * 0.95)]
+                self._json(200, stats)
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/generate":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                num_graphs = int(body.get("num_graphs", 1))
+                num_nodes = body.get("num_nodes", default_n)
+                seed = body.get("seed")
+                t0 = time.time()
+                graphs = batcher.generate(num_graphs, num_nodes,
+                                          None if seed is None else int(seed))
+                _augment_names(graphs, idx_to_word)
+                self._json(200, {"graphs": graphs,
+                                 "latency_ms": (time.time() - t0) * 1e3})
+            except (ValueError, TypeError) as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:
+                logging.exception("generate failed")
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(batcher: BatchingSampler, port: int, idx_to_word: dict | None = None,
+          default_num_nodes: int | None = None) -> ThreadingHTTPServer:
+    """Start the HTTP server (returns it; call .serve_forever() to block)."""
+    handler = make_handler(batcher, idx_to_word, default_num_nodes)
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), handler)
+    logging.info("serving scene-graph generation on :%d (batch %d)",
+                 port, batcher.batch_size)
+    return httpd

@@ -1,0 +1,245 @@
+"""Serving subsystem: AOT export round-trip + micro-batching server.
+
+The reference has no serving path (inference = offline eval runs,
+DiffuseSG/eval.py); these tests cover the TPU-native addition:
+jax.export artifact round-trips bit-exactly and the batcher/HTTP layer
+packs, splits, and seeds requests correctly.
+"""
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from diffusesg_tpu.config import load_config
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    cfg = load_config("configs/vg_small_test.yaml")
+    with cfg.unlocked():
+        cfg.dataset.max_node_num = 8
+        cfg.mcmc.num_steps = 4
+        cfg.test.batch_size = 4
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def serving_fn(tiny_cfg):
+    from diffusesg_tpu.models import build_model
+    from diffusesg_tpu.models.factory import init_params
+    from diffusesg_tpu.sampling import get_mc_sampler
+    from diffusesg_tpu.serving.export import make_serving_fn
+
+    model = build_model(tiny_cfg)
+    params = init_params(model, tiny_cfg, jax.random.PRNGKey(0))
+    sampler = get_mc_sampler(tiny_cfg)
+    return make_serving_fn(model, params, sampler, tiny_cfg), model, params, sampler
+
+
+def _flags(batch, n, counts):
+    f = np.zeros((batch, n), bool)
+    for i, c in enumerate(counts):
+        f[i, :c] = True
+    return f
+
+
+def test_serving_fn_shapes_and_determinism(tiny_cfg, serving_fn):
+    fn = jax.jit(serving_fn[0])
+    n = tiny_cfg.dataset.max_node_num
+    flags = _flags(4, n, [8, 5, 3, 1])
+    adj, node, bbox = fn(np.int32(7), flags)
+    assert adj.shape == (4, n, n) and adj.dtype == np.int32
+    assert node.shape == (4, n) and node.dtype == np.int32
+    assert bbox.shape == (4, n, 4)
+    assert float(np.min(np.asarray(bbox))) >= 0.0
+    assert float(np.max(np.asarray(bbox))) <= 1.0
+    # padded slots decode to zeros; valid slots have labels in range
+    assert np.all(np.asarray(node)[3, 1:] == 0)
+    assert int(np.asarray(node).max()) < 150
+    adj2, node2, _ = fn(np.int32(7), flags)
+    np.testing.assert_array_equal(np.asarray(adj), np.asarray(adj2))
+    np.testing.assert_array_equal(np.asarray(node), np.asarray(node2))
+    adj3, _, _ = fn(np.int32(8), flags)
+    assert not np.array_equal(np.asarray(adj), np.asarray(adj3))
+
+
+def test_export_artifact_roundtrip(tiny_cfg, serving_fn, tmp_path):
+    from diffusesg_tpu.serving.export import (export_sampler, load_artifact,
+                                              save_artifact)
+    fn, model, params, sampler = serving_fn
+    exported = export_sampler(model, params, sampler, tiny_cfg, batch_size=2)
+    art = str(tmp_path / "artifact")
+    save_artifact(art, exported, tiny_cfg, batch_size=2)
+    loaded, meta = load_artifact(art)
+    assert meta["batch_size"] == 2
+    assert meta["max_node_num"] == tiny_cfg.dataset.max_node_num
+    assert meta["num_steps"] == 4
+
+    n = tiny_cfg.dataset.max_node_num
+    flags = _flags(2, n, [8, 4])
+    ref = jax.jit(fn)(np.int32(3), flags)
+    got = loaded(np.int32(3), flags)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_node_only_configs_are_rejected(tiny_cfg):
+    from diffusesg_tpu.serving.export import make_serving_fn
+    cfg = load_config("configs/vg_small_test.yaml")
+    with cfg.unlocked():
+        cfg.train.node_only = True
+    with pytest.raises(NotImplementedError):
+        make_serving_fn(None, None, None, cfg)
+
+
+def test_serve_cli_export_and_artifact_load(tiny_cfg, serving_fn, tmp_path):
+    """CLI surface: checkpoint -> --export_to artifact -> load_artifact."""
+    import yaml
+    from diffusesg_tpu.cli.serve import main as serve_main
+    from diffusesg_tpu.serving.export import load_artifact
+    from diffusesg_tpu.train.train_state import create_train_state, make_optimizer
+    from diffusesg_tpu.utils.checkpoint import save_checkpoint
+
+    _, model, params, sampler = serving_fn
+    opt = make_optimizer(1e-4, 1.0, 10)
+    state = create_train_state(params, [0.9, 0.999], opt)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, extra={"epoch": 0})
+
+    cfg_file = str(tmp_path / "config.yaml")
+    with open("configs/vg_small_test.yaml") as f:
+        raw = yaml.safe_load(f)
+    raw["dataset"]["max_node_num"] = 8
+    raw["mcmc"]["num_steps"] = 4
+    raw["test"]["batch_size"] = 4
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(raw, f)
+
+    art = str(tmp_path / "art")
+    serve_main(["-p", ckpt, "-c", cfg_file, "--export_to", art,
+                "--batch_size", "2"])
+    loaded, meta = load_artifact(art)
+    assert meta["batch_size"] == 2
+    flags = _flags(2, 8, [8, 3])
+    adj, node, bbox = loaded(np.int32(1), flags)
+    assert np.asarray(adj).shape == (2, 8, 8)
+    assert np.all(np.asarray(node)[1, 3:] == 0)
+
+
+# ------------------------------------------------------------------ batcher
+
+def _fake_fn(seed, flags):
+    """Deterministic stand-in for the compiled sampler: labels = seed, the
+    adjacency marks every valid (i!=j) pair with predicate 1."""
+    b, n = flags.shape
+    f = np.asarray(flags)
+    node = np.where(f, int(seed), 0).astype(np.int32)
+    pair = f[:, :, None] & f[:, None, :] & ~np.eye(n, dtype=bool)[None]
+    adj = pair.astype(np.int32)
+    bbox = np.tile(f[..., None] * 0.5, (1, 1, 4)).astype(np.float32)
+    return adj, node, bbox
+
+
+def test_batcher_packs_and_splits():
+    from diffusesg_tpu.serving.server import BatchingSampler
+    b = BatchingSampler(_fake_fn, batch_size=8, max_node_num=6,
+                        linger_ms=200.0)
+    try:
+        results = [None, None]
+
+        def call(i, k, nn):
+            results[i] = b.generate(k, nn)
+
+        t0 = threading.Thread(target=call, args=(0, 3, 4))
+        t1 = threading.Thread(target=call, args=(1, 2, [2, 6]))
+        t0.start(); t1.start(); t0.join(10); t1.join(10)
+        assert len(results[0]) == 3 and len(results[1]) == 2
+        # both rode one batch (the linger window coalesced them)
+        assert b.stats["batches"] == 1 and b.stats["requests"] == 2
+        g = results[1][1]
+        assert len(g["nodes"]) == 6
+        assert len(g["edges"]) == 6 * 5  # full directed graph, no self-loops
+        assert all(e[2] == 1 for e in g["edges"])
+        g2 = results[1][0]
+        assert len(g2["nodes"]) == 2 and len(g2["bboxes"]) == 2
+    finally:
+        b.close()
+
+
+def test_batcher_seeded_requests_are_deterministic_and_isolated():
+    from diffusesg_tpu.serving.server import BatchingSampler
+    b = BatchingSampler(_fake_fn, batch_size=4, max_node_num=5, linger_ms=1.0)
+    try:
+        r1 = b.generate(1, 3, seed=42)
+        r2 = b.generate(1, 3, seed=42)
+        assert r1 == r2
+        assert r1[0]["nodes"] == [42, 42, 42]  # fake fn: labels == seed
+        r3 = b.generate(1, 3)  # unseeded uses the internal counter
+        assert r3[0]["nodes"] != [42, 42, 42]
+    finally:
+        b.close()
+
+
+def test_batcher_validates_inputs():
+    from diffusesg_tpu.serving.server import BatchingSampler
+    b = BatchingSampler(_fake_fn, batch_size=4, max_node_num=5, linger_ms=1.0)
+    try:
+        with pytest.raises(ValueError):
+            b.generate(5, 3)         # over batch
+        with pytest.raises(ValueError):
+            b.generate(1, 9)         # over max nodes
+        with pytest.raises(ValueError):
+            b.generate(2, [1, 2, 3])  # count mismatch
+    finally:
+        b.close()
+
+
+# ------------------------------------------------------------------ http
+
+def test_http_server_end_to_end():
+    from diffusesg_tpu.serving.server import BatchingSampler, serve
+    b = BatchingSampler(_fake_fn, batch_size=4, max_node_num=5, linger_ms=1.0)
+    idx_to_word = {"ind_to_classes": [f"cls{i}" for i in range(100)],
+                   "ind_to_predicates": ["none", "on"]}
+    httpd = serve(b, 0, idx_to_word)  # port 0: ephemeral
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            health = json.load(r)
+        assert health["status"] == "ok" and health["batch_size"] == 4
+
+        req = urllib.request.Request(
+            base + "/v1/generate",
+            data=json.dumps({"num_graphs": 2, "num_nodes": [3, 2],
+                             "seed": 5}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            payload = json.load(r)
+        graphs = payload["graphs"]
+        assert len(graphs) == 2
+        assert graphs[0]["nodes"] == [5, 5, 5]
+        assert graphs[0]["node_names"] == ["cls5"] * 3
+        assert all(e[2] == 1 for e in graphs[0]["edges"])
+        assert graphs[0]["edge_names"] == ["on"] * len(graphs[0]["edges"])
+
+        # malformed request -> 400
+        bad = urllib.request.Request(
+            base + "/v1/generate",
+            data=json.dumps({"num_graphs": 99}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(bad, timeout=10)
+        assert exc.value.code == 400
+
+        with urllib.request.urlopen(base + "/v1/stats", timeout=10) as r:
+            stats = json.load(r)
+        assert stats["graphs"] >= 2 and "latency_ms_p50" in stats
+    finally:
+        httpd.shutdown()
+        b.close()
