@@ -3,3 +3,4 @@ from .mesh import (
     shard_batch, gather_to_host, sync_hosts, is_main_process,
 )
 from .sharded_step import make_sharded_train_step, shard_train_state
+from .tp import make_mesh_2d, tp_param_shardings, tp_state_shardings

@@ -15,43 +15,64 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..train.train_state import TrainState
 from .mesh import batch_sharding, replicated, zero1_sharding
+from .tp import tp_param_shardings, tp_state_shardings
 
 
 def train_state_shardings(state: TrainState, mesh: Mesh,
-                          axis_name: str = "data", zero1: bool = True) -> TrainState:
-    """Sharding pytree matching a TrainState: params replicated; optimizer
-    moments + EMA copies ZeRO-1-sharded (or fully replicated)."""
+                          axis_name: str = "data", zero1: bool = True,
+                          tp: bool = False,
+                          model_axis: str = "model") -> TrainState:
+    """Sharding pytree matching a TrainState.
+
+    Default (tp=False): params replicated; optimizer moments + EMA copies
+    ZeRO-1-sharded over ``axis_name`` (or fully replicated).
+
+    tp=True (requires a 2-D mesh with a ``model_axis``): params get the
+    Megatron-style tensor-parallel layout (parallel/tp.py), optimizer/EMA
+    leaves follow the same model-axis rule plus ZeRO-1 on ``axis_name``.
+    """
     repl = replicated(mesh)
-    params_sh = jax.tree.map(lambda _: repl, state.params)
-    if zero1:
-        opt_sh = zero1_sharding(state.opt_state, mesh, axis_name)
-        ema_sh = zero1_sharding(state.ema_params, mesh, axis_name)
+    if tp:
+        params_sh = tp_param_shardings(state.params, mesh, model_axis)
+        opt_sh = tp_state_shardings(state.opt_state, mesh, axis_name,
+                                    model_axis, zero1)
+        ema_sh = tp_state_shardings(state.ema_params, mesh, axis_name,
+                                    model_axis, zero1)
     else:
-        opt_sh = jax.tree.map(lambda _: repl, state.opt_state)
-        ema_sh = jax.tree.map(lambda _: repl, state.ema_params)
+        params_sh = jax.tree.map(lambda _: repl, state.params)
+        if zero1:
+            opt_sh = zero1_sharding(state.opt_state, mesh, axis_name)
+            ema_sh = zero1_sharding(state.ema_params, mesh, axis_name)
+        else:
+            opt_sh = jax.tree.map(lambda _: repl, state.opt_state)
+            ema_sh = jax.tree.map(lambda _: repl, state.ema_params)
     return TrainState(step=repl, params=params_sh, opt_state=opt_sh,
                       ema_params=ema_sh, ema_betas=repl)
 
 
 def shard_train_state(state: TrainState, mesh: Mesh, axis_name: str = "data",
-                      zero1: bool = True) -> TrainState:
+                      zero1: bool = True, tp: bool = False,
+                      model_axis: str = "model") -> TrainState:
     """Place an existing TrainState according to train_state_shardings."""
-    sh = train_state_shardings(state, mesh, axis_name, zero1)
+    sh = train_state_shardings(state, mesh, axis_name, zero1, tp, model_axis)
     return jax.tree.map(jax.device_put, state, sh)
 
 
 def make_sharded_train_step(train_step: Callable, state: TrainState, mesh: Mesh,
                             axis_name: str = "data", zero1: bool = True,
                             donate: bool = True, adj_ndim: int = 3,
-                            node_ndim: int = 3, flags_ndim: int = 2) -> Callable:
+                            node_ndim: int = 3, flags_ndim: int = 2,
+                            tp: bool = False,
+                            model_axis: str = "model") -> Callable:
     """jit the step with explicit in/out shardings over the mesh.
 
     Signature of ``train_step``: (state, rng, adjs, nodes, flags) ->
     (state, metrics).  Batch arrays are sharded on their leading axis; the
-    state follows train_state_shardings; metrics come back replicated.
+    state follows train_state_shardings (tensor-parallel when ``tp``);
+    metrics come back replicated.
     ``adj_ndim``/``node_ndim`` depend on encoding (4/3 for multi-channel).
     """
-    state_sh = train_state_shardings(state, mesh, axis_name, zero1)
+    state_sh = train_state_shardings(state, mesh, axis_name, zero1, tp, model_axis)
     repl = replicated(mesh)
 
     def _batch_sh(ndim):
