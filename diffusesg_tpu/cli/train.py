@@ -59,6 +59,7 @@ def main(argv=None):
     writer = ScalarWriter(config.logdir, enabled=is_main_process())
 
     go_training(model, state, train_step, eval_step, config, bundle,
+                optimizer=optimizer, step_cfg=step_cfg,
                 mc_sampler=mc_sampler, writer=writer)
     writer.close()
     logging.info("training complete")

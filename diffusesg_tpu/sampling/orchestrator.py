@@ -144,10 +144,20 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
     # interim snapshot cap mirrors the reference (sampler_node_adj.py:85-86)
     num_interim = min(int(config.test.get("num_interim", 10)),
                       mc_sampler.num_steps)
-    sample_fn = make_sample_fn(model, params, mc_sampler, num_node_type,
-                               num_adj_type, sanity_check,
-                               precond=config.mcmc.get("precond", "edm"),
-                               num_interim=num_interim, mesh=mesh)
+    spmd_mode = config.tpu.get("spmd_mode", "gspmd") if "tpu" in config else "gspmd"
+    if (spmd_mode == "shard_map" and not sanity_check and mesh is not None
+            and mesh.size > 1):
+        # explicit per-shard execution: carries the Pallas kernels to
+        # multi-chip (GSPMD all-gathers around opaque tpu_custom_calls)
+        from ..parallel.shardmap_dp import make_shardmap_sample_fn
+        sample_fn = make_shardmap_sample_fn(
+            model, params, mc_sampler, num_node_type, num_adj_type, mesh,
+            precond=config.mcmc.get("precond", "edm"), num_interim=num_interim)
+    else:
+        sample_fn = make_sample_fn(model, params, mc_sampler, num_node_type,
+                                   num_adj_type, sanity_check,
+                                   precond=config.mcmc.get("precond", "edm"),
+                                   num_interim=num_interim, mesh=mesh)
     decode_fn = jax.jit(partial(
         decode_samples, node_encoding=node_encoding, edge_encoding=edge_encoding,
         num_node_type=raw_num_node_type,

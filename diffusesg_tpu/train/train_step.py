@@ -114,13 +114,24 @@ def train_step_config_from(config) -> TrainStepConfig:
         num_edge_type=info["num_adj_type"])
 
 
-def make_train_step(model_apply: Callable, optimizer, cfg: TrainStepConfig):
-    """(state, rng, batch) -> (state, metrics); jit/pjit this."""
+def make_train_step(model_apply: Callable, optimizer, cfg: TrainStepConfig,
+                    axis_name: str | None = None):
+    """(state, rng, batch) -> (state, metrics); jit/pjit this.
+
+    ``axis_name``: set when the step runs INSIDE shard_map/pmap over that
+    mesh axis — gradients and scalar metrics are lax.pmean'd across shards
+    (the explicit-collective analogue of what GSPMD inserts automatically
+    under pjit; used by parallel/shardmap_dp.py to carry the Pallas kernels
+    to multi-chip).
+    """
     loss_fn = make_loss_fn(model_apply, cfg)
 
     def train_step(state: TrainState, rng, adjs_gt, nodes_gt, node_flags):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, rng, adjs_gt, nodes_gt, node_flags)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         ema_params = update_emas(state.ema_params, params, state.ema_betas,
@@ -128,9 +139,14 @@ def make_train_step(model_apply: Callable, optimizer, cfg: TrainStepConfig):
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, ema_params=ema_params,
                                ema_betas=state.ema_betas)
+        loss_adj_m = aux["loss_adj"].mean()
+        loss_node_m = aux["loss_node"].mean()
+        if axis_name is not None:
+            loss_adj_m = jax.lax.pmean(loss_adj_m, axis_name)
+            loss_node_m = jax.lax.pmean(loss_node_m, axis_name)
         metrics = {"loss": loss,
-                   "loss_adj": aux["loss_adj"].mean(),
-                   "loss_node": aux["loss_node"].mean(),
+                   "loss_adj": loss_adj_m,
+                   "loss_node": loss_node_m,
                    "loss_adj_per_sample": aux["loss_adj"],
                    "loss_node_per_sample": aux["loss_node"],
                    "sigmas": aux["sigmas"]}
@@ -139,16 +155,23 @@ def make_train_step(model_apply: Callable, optimizer, cfg: TrainStepConfig):
     return train_step
 
 
-def make_eval_step(model_apply: Callable, cfg: TrainStepConfig):
+def make_eval_step(model_apply: Callable, cfg: TrainStepConfig,
+                   axis_name: str | None = None):
     """Test-pass step computing the same losses without updates
     (reference: trainer_node_adj.py:112-114 'test' mode)."""
     loss_fn = make_loss_fn(model_apply, cfg)
 
     def eval_step(params, rng, adjs_gt, nodes_gt, node_flags):
         loss, aux = loss_fn(params, rng, adjs_gt, nodes_gt, node_flags)
+        loss_adj_m = aux["loss_adj"].mean()
+        loss_node_m = aux["loss_node"].mean()
+        if axis_name is not None:
+            loss = jax.lax.pmean(loss, axis_name)
+            loss_adj_m = jax.lax.pmean(loss_adj_m, axis_name)
+            loss_node_m = jax.lax.pmean(loss_node_m, axis_name)
         return {"loss": loss,
-                "loss_adj": aux["loss_adj"].mean(),
-                "loss_node": aux["loss_node"].mean(),
+                "loss_adj": loss_adj_m,
+                "loss_node": loss_node_m,
                 "loss_adj_per_sample": aux["loss_adj"],
                 "loss_node_per_sample": aux["loss_node"],
                 "sigmas": aux["sigmas"]}

@@ -22,8 +22,15 @@ from ..utils.logging_utils import LossTxtLogger, ScalarWriter
 
 
 def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
-                mc_sampler=None, writer: ScalarWriter | None = None):
-    """Run the full training loop; returns the final TrainState."""
+                mc_sampler=None, writer: ScalarWriter | None = None,
+                optimizer=None, step_cfg=None):
+    """Run the full training loop; returns the final TrainState.
+
+    ``config.tpu.spmd_mode`` picks the multi-device strategy: "gspmd"
+    (default — pjit + NamedSharding, ZeRO-1 state) or "shard_map" (explicit
+    per-shard execution that carries the Pallas kernels to multi-chip,
+    parallel/shardmap_dp.py; requires ``optimizer`` + ``step_cfg``).
+    """
     # imported here to avoid a train <-> parallel circular import
     from ..parallel.mesh import is_main_process, make_mesh, shard_batch, sync_hosts
     from ..parallel.sharded_step import (
@@ -42,15 +49,29 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
                            process_index=jax.process_index(),
                            process_count=jax.process_count())
 
-    state = shard_train_state(state, mesh)
-    sharded_step = make_sharded_train_step(
-        train_step, state, mesh,
-        adj_ndim=bundle.train.adjs.ndim, node_ndim=bundle.train.nodes.ndim,
-        flags_ndim=bundle.train.node_flags.ndim)
-    jit_eval = make_sharded_eval_step(
-        eval_step, mesh,
-        adj_ndim=bundle.train.adjs.ndim, node_ndim=bundle.train.nodes.ndim,
-        flags_ndim=bundle.train.node_flags.ndim)
+    spmd_mode = config.tpu.get("spmd_mode", "gspmd") if "tpu" in config else "gspmd"
+    if spmd_mode == "shard_map" and mesh.size > 1:
+        if optimizer is None or step_cfg is None:
+            raise ValueError("spmd_mode=shard_map needs optimizer + step_cfg "
+                             "passed to go_training")
+        from ..parallel.mesh import replicate_tree
+        from ..parallel.shardmap_dp import (
+            make_shardmap_eval_step, make_shardmap_train_step,
+        )
+        state = replicate_tree(state, mesh)
+        sharded_step = make_shardmap_train_step(model.apply, optimizer,
+                                                step_cfg, mesh)
+        jit_eval = make_shardmap_eval_step(model.apply, step_cfg, mesh)
+    else:
+        state = shard_train_state(state, mesh)
+        sharded_step = make_sharded_train_step(
+            train_step, state, mesh,
+            adj_ndim=bundle.train.adjs.ndim, node_ndim=bundle.train.nodes.ndim,
+            flags_ndim=bundle.train.node_flags.ndim)
+        jit_eval = make_sharded_eval_step(
+            eval_step, mesh,
+            adj_ndim=bundle.train.adjs.ndim, node_ndim=bundle.train.nodes.ndim,
+            flags_ndim=bundle.train.node_flags.ndim)
 
     loss_txt = LossTxtLogger(config.logdir, enabled=is_main_process())
     lowest = {"epoch": -1, "loss": float("inf")}
