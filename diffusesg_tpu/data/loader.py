@@ -98,6 +98,20 @@ def prefetch_to_device(iterator, put_fn, size: int = 2) -> Iterator:
         yield out
 
 
+def shard_for_process(data: SceneGraphData, process_index: int,
+                      process_count: int) -> SceneGraphData:
+    """Per-process strided shard of a packed dataset (the eval-side
+    DistributedSampler analogue, reference: utils/dataloader.py:26-29)."""
+    if process_count <= 1:
+        return data
+    sel = np.arange(process_index, len(data), process_count)
+    return SceneGraphData(
+        adjs=data.adjs[sel], nodes=data.nodes[sel],
+        node_flags=data.node_flags[sel], image_ids=data.image_ids[sel],
+        pkl_data=[data.pkl_data[i] for i in sel] if data.pkl_data else [],
+        num_node_type=data.num_node_type, num_edge_type=data.num_edge_type)
+
+
 def split_eval_set(data: SceneGraphData, total_samples: int, seed: int = 0) -> SceneGraphData:
     """Subset / repeat the test set to hit ``total_samples``
     (reference: runner/sampler/sampler_utils.py:8-41)."""

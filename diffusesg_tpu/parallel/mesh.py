@@ -40,6 +40,17 @@ def batch_sharding(mesh: Mesh, ndim: int = 1, axis_name: str = "data") -> NamedS
     return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
 
 
+def largest_divisible_axis(shape, size: int, exclude: int | None = None):
+    """THE ZeRO-1 axis rule, shared by zero1_sharding and tp_state_shardings:
+    the largest axis divisible by ``size`` (ties -> lowest index), skipping
+    ``exclude``; None if no axis qualifies."""
+    best_axis, best_dim = None, 0
+    for axis, dim in enumerate(shape):
+        if axis != exclude and dim % size == 0 and dim >= size and dim > best_dim:
+            best_axis, best_dim = axis, dim
+    return best_axis
+
+
 def zero1_sharding(pytree: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     """ZeRO-1-style sharding spec with an EXPLICIT axis rule: each leaf is
     sharded along its LARGEST axis divisible by the mesh size (ties broken by
@@ -57,10 +68,7 @@ def zero1_sharding(pytree: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     def _spec(leaf):
         if not hasattr(leaf, "shape") or leaf.ndim == 0:
             return NamedSharding(mesh, P())
-        best_axis, best_dim = None, 0
-        for axis, dim in enumerate(leaf.shape):
-            if dim % size == 0 and dim >= size and dim > best_dim:
-                best_axis, best_dim = axis, dim
+        best_axis = largest_divisible_axis(leaf.shape, size)
         if best_axis is None:
             return NamedSharding(mesh, P())
         spec = [None] * leaf.ndim
@@ -77,21 +85,39 @@ def replicate_tree(pytree: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
-    """Place host numpy batch arrays sharded over the data axis."""
+    """Place host batch arrays sharded over the data axis.
+
+    Single-process: a plain sharded device_put.  Multi-process: each host
+    passes its LOCAL rows (the per-host strided shard from data/loader.py)
+    and they are assembled into one global array — the jax analogue of DDP
+    ranks each feeding their DistributedSampler shard (plain device_put
+    would instead demand the same global value on every host).
+    """
+    multi = jax.process_count() > 1
+
     def _put(x):
-        return jax.device_put(x, batch_sharding(mesh, x.ndim, axis_name))
+        x = np.asarray(x)
+        sh = batch_sharding(mesh, x.ndim, axis_name)
+        if multi:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
     return jax.tree.map(_put, batch)
 
 
 def gather_to_host(x: jax.Array) -> np.ndarray:
     """Collect a (possibly sharded) array onto the host.
 
-    Single-process: device_get handles any sharding.  Multi-process
-    (per-host addressable shards): process_allgather, the analogue of the
-    reference's gather_tensors (dist_training.py:170-195).
+    Single-process: device_get handles any sharding.  Multi-process: the
+    analogue of the reference's gather_tensors (dist_training.py:170-195) —
+    host values (or per-host shards of a global batch-sharded array) are
+    allgathered and concatenated in process order.
     """
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
+        # COLLECTIVE: every process must call this.  Host values / fully-
+        # addressable arrays are concatenated in process order; a global
+        # (non-fully-addressable) jax.Array comes back fully replicated
+        # whatever its layout (batch-sharded, ZeRO-1, tensor-parallel).
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(jax.device_get(x))
 

@@ -69,7 +69,9 @@ def make_sharded_train_step(train_step: Callable, state: TrainState, mesh: Mesh,
     Signature of ``train_step``: (state, rng, adjs, nodes, flags) ->
     (state, metrics).  Batch arrays are sharded on their leading axis; the
     state follows train_state_shardings (tensor-parallel when ``tp``);
-    metrics come back replicated.
+    scalar metrics come back replicated, per-sample metric vectors stay
+    sharded over the batch axis (on multi-host, gather before device_get —
+    trainer._fetch_metrics).
     ``adj_ndim``/``node_ndim`` depend on encoding (4/3 for multi-channel).
     """
     state_sh = train_state_shardings(state, mesh, axis_name, zero1, tp, model_axis)

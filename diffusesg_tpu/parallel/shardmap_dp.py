@@ -38,6 +38,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..train.train_step import TrainStepConfig, make_eval_step, make_train_step
 
 
+def _metrics_specs(axis_name: str):
+    """out_specs matching the metrics dict of train_step.py's make_train_step
+    / make_eval_step (one definition for both shard_map wrappers)."""
+    return {"loss": P(), "loss_adj": P(), "loss_node": P(),
+            "loss_adj_per_sample": P(axis_name),
+            "loss_node_per_sample": P(axis_name),
+            "sigmas": P(axis_name)}
+
+
 def make_shardmap_train_step(model_apply: Callable, optimizer,
                              cfg: TrainStepConfig, mesh: Mesh,
                              axis_name: str = "data",
@@ -50,14 +59,10 @@ def make_shardmap_train_step(model_apply: Callable, optimizer,
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         return step(state, rng, adjs, nodes, flags)
 
-    metrics_out = {"loss": P(), "loss_adj": P(), "loss_node": P(),
-                   "loss_adj_per_sample": P(axis_name),
-                   "loss_node_per_sample": P(axis_name),
-                   "sigmas": P(axis_name)}
     sm = jax.shard_map(local_step, mesh=mesh,
                        in_specs=(P(), P(), P(axis_name), P(axis_name),
                                  P(axis_name)),
-                       out_specs=(P(), metrics_out),
+                       out_specs=(P(), _metrics_specs(axis_name)),
                        check_vma=False)
     return jax.jit(sm, donate_argnums=(0,) if donate else ())
 
@@ -71,14 +76,10 @@ def make_shardmap_eval_step(model_apply: Callable, cfg: TrainStepConfig,
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         return step(params, rng, adjs, nodes, flags)
 
-    metrics_out = {"loss": P(), "loss_adj": P(), "loss_node": P(),
-                   "loss_adj_per_sample": P(axis_name),
-                   "loss_node_per_sample": P(axis_name),
-                   "sigmas": P(axis_name)}
     sm = jax.shard_map(local_step, mesh=mesh,
                        in_specs=(P(), P(), P(axis_name), P(axis_name),
                                  P(axis_name)),
-                       out_specs=metrics_out, check_vma=False)
+                       out_specs=_metrics_specs(axis_name), check_vma=False)
     return jax.jit(sm)
 
 

@@ -109,10 +109,8 @@ def tp_state_shardings(tree: Any, mesh: Mesh, data_axis: str = "data",
         else:
             ax = None
         if zero1 and dp > 1:
-            best_axis, best_dim = None, 0
-            for axis, dim in enumerate(leaf.shape):
-                if axis != ax and dim % dp == 0 and dim >= dp and dim > best_dim:
-                    best_axis, best_dim = axis, dim
+            from .mesh import largest_divisible_axis
+            best_axis = largest_divisible_axis(leaf.shape, dp, exclude=ax)
             if best_axis is not None:
                 spec[best_axis] = data_axis
         while spec and spec[-1] is None:

@@ -120,11 +120,28 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
     total_samples = min(len(test_data), total_samples)
     eval_set = split_eval_set(test_data, total_samples, seed=config.seed)
 
-    # data-parallel sampling mesh over all addressable devices (the reference
-    # shards eval across DDP ranks, sampler_node_adj.py:331-345; here one
-    # process drives every local chip via NamedSharding)
+    # data-parallel sampling mesh.  Single process: NamedSharding over every
+    # local chip.  Multi-process: each host samples its strided shard of the
+    # eval set on a LOCAL mesh and results are allgathered below — the exact
+    # reference DDP-eval split (sampler_node_adj.py:331-345 +
+    # DistributedSampler, dataloader.py:26-29); a global mesh would force
+    # every host to materialize identical global batches.
     from ..parallel.mesh import batch_sharding, make_mesh
-    mesh = make_mesh(config.tpu.get("num_devices", 0) if "tpu" in config else 0)
+    n_dev = config.tpu.get("num_devices", 0) if "tpu" in config else 0
+    if jax.process_count() > 1:
+        from ..data.loader import shard_for_process
+        eval_set = shard_for_process(eval_set, jax.process_index(),
+                                     jax.process_count())
+        mesh = make_mesh(n_dev, devices=jax.local_devices())
+        # params may arrive sharded over the GLOBAL training mesh (ZeRO-1
+        # EMA leaves); gather to host (COLLECTIVE) before placing them on
+        # the local sampling mesh
+        params = jax.tree.map(
+            lambda x: gather_to_host(x)
+            if isinstance(x, jax.Array) and not x.is_fully_addressable else x,
+            params)
+    else:
+        mesh = make_mesh(n_dev)
     batch_size = -(-batch_size // mesh.size) * mesh.size
     logging.info("sampling %d graphs (batch %d, %d device(s))",
                  total_samples, batch_size, mesh.size)
@@ -141,6 +158,10 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
         return jax.device_put(a, batch_sharding(mesh, np.asarray(a).ndim))
 
     rng = jax.random.PRNGKey(config.seed + epoch) if rng is None else rng
+    if jax.process_count() > 1:
+        # per-rank noise streams (reference: per-process seed offset,
+        # arg_parser.py:288-312); each host samples different graphs
+        rng = jax.random.fold_in(rng, jax.process_index())
     # interim snapshot cap mirrors the reference (sampler_node_adj.py:85-86)
     num_interim = min(int(config.test.get("num_interim", 10)),
                       mc_sampler.num_steps)

@@ -77,7 +77,23 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
     lowest = {"epoch": -1, "loss": float("inf")}
     save_interval = config.train.save_interval
     sample_interval = config.train.sample_interval
-    rng = jax.random.PRNGKey(config.seed + 1000 + jax.process_index())
+    # NO per-process offset: the step key is declared replicated to the jit
+    # (GSPMD) / shard_map programs, so every host must pass the SAME value —
+    # noise decorrelation comes from the global batch shard (GSPMD) or the
+    # per-device fold_in(axis_index) (shard_map), not from the key.
+    rng = jax.random.PRNGKey(config.seed + 1000)
+
+    def _fetch_metrics(tree):
+        """device_get, but all-gather the batch-sharded per-sample leaves
+        first — on a multi-host pod they span non-addressable devices."""
+        from ..parallel.mesh import gather_to_host
+
+        def _leaf(x):
+            if getattr(x, "is_fully_addressable", True):
+                return jax.device_get(x)
+            return gather_to_host(x)
+
+        return jax.tree.map(_leaf, tree)
 
     def _pad_batch(arrs):
         """Repeat-pad a trailing partial batch to the full size so the
@@ -110,7 +126,7 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
             state, metrics = sharded_step(state, sub, *batch)
             ep_metrics.append(metrics)
 
-        fetched = jax.device_get(ep_metrics)  # single blocking transfer
+        fetched = _fetch_metrics(ep_metrics)  # single blocking transfer
         dt = time.time() - t0
         n_steps = len(fetched)
         ep_loss_a = float(np.mean([m["loss_adj"] for m in fetched])) if fetched else 0.0
@@ -136,7 +152,7 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
                 batch = shard_batch((adjs, nodes, flags), mesh)
                 rng, sub = jax.random.split(rng)
                 test_metrics.append(jit_eval(test_params, sub, *batch))
-            test_metrics = jax.device_get(test_metrics)
+            test_metrics = _fetch_metrics(test_metrics)
             m = len(test_metrics)
             te_loss_a = float(np.sum([t["loss_adj"] for t in test_metrics]))
             te_loss_x = float(np.sum([t["loss_node"] for t in test_metrics]))
@@ -151,15 +167,18 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
                 writer.add_scalar("test_epoch/regression_loss_adj", te_loss_a / max(m, 1), epoch)
                 writer.add_scalar("test_epoch/regression_loss_node", te_loss_x / max(m, 1), epoch)
 
-            if is_main_process():
-                ckpt_path = os.path.join(config.model_ckpt_dir, f"{epoch:05d}")
-                save_checkpoint(ckpt_path, state,
-                                extra={"epoch": epoch, "test_loss": te_loss})
-                if te_loss < lowest["loss"] and epoch >= min(
-                        save_interval, config.train.max_epoch - 1):
-                    lowest.update(epoch=epoch, loss=te_loss)
-                    save_checkpoint(os.path.join(config.model_save_dir, "best"),
-                                    state, extra={"epoch": epoch, "test_loss": te_loss})
+            # every process joins: the ZeRO-1 leaf gather and orbax's save
+            # barriers are collectives (orbax does the rank-0 write gating).
+            # te_loss is identical on all hosts (replicated metrics), so the
+            # best-ckpt branch agrees.
+            ckpt_path = os.path.join(config.model_ckpt_dir, f"{epoch:05d}")
+            save_checkpoint(ckpt_path, state,
+                            extra={"epoch": epoch, "test_loss": te_loss})
+            if te_loss < lowest["loss"] and epoch >= min(
+                    save_interval, config.train.max_epoch - 1):
+                lowest.update(epoch=epoch, loss=te_loss)
+                save_checkpoint(os.path.join(config.model_save_dir, "best"),
+                                state, extra={"epoch": epoch, "test_loss": te_loss})
         sync_hosts(f"epoch_{epoch}")
 
         # in-training sampling with the largest-beta EMA

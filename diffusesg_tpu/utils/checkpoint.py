@@ -29,11 +29,25 @@ if TYPE_CHECKING:  # avoid a utils <-> train circular import at runtime
 
 
 def _to_host(tree: Any) -> Any:
-    return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
+    def _leaf(x):
+        if isinstance(x, jax.Array) and not getattr(x, "is_fully_addressable", True):
+            # multi-host sharded leaf (ZeRO-1 moments/EMAs): COLLECTIVE
+            # gather — every process must reach this point
+            from ..parallel.mesh import gather_to_host
+            return gather_to_host(x)
+        return np.asarray(jax.device_get(x))
+    return jax.tree.map(_leaf, tree)
 
 
 def save_checkpoint(path: str, state: "TrainState", extra: dict | None = None) -> None:
-    """Save a TrainState (+ optional metadata dict) to ``path``."""
+    """Save a TrainState (+ optional metadata dict) to ``path``.
+
+    Multi-host: call from EVERY process — both the sharded-leaf gather and
+    orbax's internal save barriers are collectives; orbax writes the
+    (replicated numpy) payload from the primary host only, giving the
+    reference's rank-0 torch.save semantics (trainer_utils.py) without a
+    hand-rolled gate.
+    """
     path = os.path.abspath(path)
     payload = {
         "step": _to_host(state.step),

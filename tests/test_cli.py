@@ -161,7 +161,9 @@ def test_train_cli_shard_map_mode(tiny_cfg_file, tmp_path):
     with open(tiny_cfg_file) as f:
         raw = _yaml.safe_load(f)
     raw["exp_dir"] = str(tmp_path / "exp_sm")
-    raw["train"]["max_epoch"] = 1
+    # 2 epochs: epoch 0 samples with sanity_check=True (GSPMD fallback),
+    # epoch 1 hits the real make_shardmap_sample_fn branch
+    raw["train"]["max_epoch"] = 2
     raw["train"]["save_interval"] = 1
     raw["train"]["sample_interval"] = 1  # force the sampling path too
     raw["tpu"]["spmd_mode"] = "shard_map"
@@ -178,4 +180,5 @@ def test_train_cli_shard_map_mode(tiny_cfg_file, tmp_path):
     csv = os.path.join(run_dir, "eval_results.csv")
     assert os.path.isfile(csv), "in-training sampling wrote no eval csv"
     df = pd.read_csv(csv)
-    assert len(df) >= 1 and np.isfinite(df["node_type_mmd_gaussian"].iloc[-1])
+    # epoch-0 sanity row + epoch-1 real (shard_map-sampled) inference row
+    assert len(df) >= 2 and np.isfinite(df["node_type_mmd_gaussian"].iloc[-1])
