@@ -88,8 +88,10 @@ def _load_from_checkpoint(args):
     model = build_model(config)
     sampler = get_mc_sampler(config)
     serve_fn = jax.jit(make_serving_fn(model, params, sampler, config))
+    from ..serving.export import make_completion_fn
+    complete_fn = jax.jit(make_completion_fn(model, params, sampler, config))
     batch = args.batch_size or config.test.batch_size or config.train.batch_size
-    return serve_fn, int(batch), int(config.dataset.max_node_num), config
+    return serve_fn, complete_fn, int(batch), int(config.dataset.max_node_num), config
 
 
 def main(argv=None):
@@ -101,6 +103,7 @@ def main(argv=None):
 
     idx_to_word = None
     config = None
+    complete_fn = None  # artifact mode serves generation only (HTTP 501)
     if args.from_artifact:
         from ..serving.export import load_artifact
         fn, meta = load_artifact(args.from_artifact)
@@ -109,7 +112,7 @@ def main(argv=None):
     else:
         if not args.model_path:
             raise SystemExit("need -p/--model_path or --from_artifact")
-        fn, batch, max_n, config = _load_from_checkpoint(args)
+        fn, complete_fn, batch, max_n, config = _load_from_checkpoint(args)
         if args.batch_size:
             batch = args.batch_size
 
@@ -134,7 +137,8 @@ def main(argv=None):
             logging.warning("label-name lookup unavailable: %s", e)
 
     batcher = BatchingSampler(fn, batch, max_n, base_seed=args.seed,
-                              linger_ms=args.linger_ms)
+                              linger_ms=args.linger_ms,
+                              complete_fn=complete_fn)
     logging.info("warming up (first XLA compile)...")
     batcher.warmup()
     httpd = serve(batcher, args.port, idx_to_word)

@@ -81,6 +81,81 @@ def make_serving_fn(model, params, sampler: NodeAdjEDMSampler, config):
     return serve_fn
 
 
+def make_completion_fn(model, params, sampler: NodeAdjEDMSampler, config):
+    """Conditional completion over the serving surface.
+
+    Serving counterpart of the sampler's masked inpainting (the
+    generalization of the reference's init_adjs/init_nodes conditional
+    mode, reference: runner/mcmc_sampler/edm.py:291-329 — BASELINE
+    config 4).  Known parts arrive in USER space (integer types, [0,1]
+    cxcywh boxes); they are encoded exactly like the dataset pipeline
+    (data/dataset.py:117-160) and held RePaint-style through the reverse
+    diffusion, so the output carries them verbatim.
+
+    Signature of the returned jittable fn::
+
+        (seed:int32[], node_flags:bool[B,N],
+         known_node:int32[B,N],  mask_node:bool[B,N],
+         known_bbox:float32[B,N,4], mask_bbox:bool[B,N],
+         known_adj:int32[B,N,N], mask_adj:bool[B,N,N])
+          -> (adj_types:int32[B,N,N], node_types:int32[B,N],
+              bboxes:float32[B,N,4])
+
+    Node-type and bbox knowledge are masked independently (per-channel
+    node mask), so "this node is a person, place it anywhere" works.
+    """
+    from ..ops.attribute_code import attribute_converter
+
+    info = resolve_sampling_channels(config)
+    if info["flag_node_only"]:
+        raise NotImplementedError(
+            "completion serving supports the joint node+edge+bbox configs")
+    node_enc = config.train.node_encoding
+    edge_enc = config.train.edge_encoding
+    n_node_type = info["raw_num_node_type"]
+    n_edge_type = (info["raw_num_adj_type"]
+                   if not info["flag_binary_edge"] else 2)
+    decode = partial(
+        decode_samples, node_encoding=node_enc, edge_encoding=edge_enc,
+        num_node_type=n_node_type, num_adj_type=n_edge_type,
+        flag_bbox=True, flag_node_only=False)
+
+    def complete_fn(seed, node_flags, known_node, mask_node, known_bbox,
+                    mask_bbox, known_adj, mask_adj):
+        rng = jax.random.PRNGKey(seed)
+        x = attribute_converter(known_node.astype(jnp.float32), node_flags,
+                                "int", node_enc, n_node_type, flag_nodes=True,
+                                flag_in_ddpm_range=False,
+                                flag_out_ddpm_range=True)
+        if x.ndim == 2:  # ddpm encodes channel-less; bits/one_hot carry C
+            x = x[..., None]
+        gt_x = jnp.concatenate([x, (known_bbox - 0.5) * 2.0], axis=-1)
+        gt_a = attribute_converter(known_adj.astype(jnp.float32), node_flags,
+                                   "int", edge_enc, n_edge_type, flag_adjs=True,
+                                   flag_in_ddpm_range=False,
+                                   flag_out_ddpm_range=True)
+        type_chan = gt_x.shape[-1] - 4
+        m_x = jnp.concatenate(
+            [jnp.repeat(mask_node[..., None], type_chan, axis=-1),
+             jnp.repeat(mask_bbox[..., None], 4, axis=-1)], axis=-1)
+        inpaint = {"gt_adjs": gt_a, "gt_nodes": gt_x,
+                   "mask_adjs": mask_adj, "mask_nodes": m_x}
+
+        def denoiser(a, xx, sigmas, sc_a, sc_x):
+            def model_fn(aa, xxx, flags, c_noise, s_a, s_x):
+                return model.apply(params, aa, xxx, flags, c_noise, s_a, s_x)
+            return precond_forward(model_fn, config.mcmc.get("precond", "edm"),
+                                   a, xx, node_flags, sigmas, sc_a, sc_x)
+
+        adjs, nodes = sampler.sample(denoiser, rng, node_flags,
+                                     info["num_node_chan"],
+                                     info["num_adj_chan"], inpaint=inpaint)
+        dec = decode(adjs, nodes, node_flags)
+        return dec.adj_types, dec.node_types, dec.bboxes
+
+    return complete_fn
+
+
 def export_sampler(model, params, sampler: NodeAdjEDMSampler, config,
                    batch_size: int):
     """AOT-export the serving fn at a fixed batch size -> jax.export.Exported."""

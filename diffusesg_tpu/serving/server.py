@@ -19,6 +19,11 @@ HTTP surface (stdlib ThreadingHTTPServer; JSON in/out):
 
   POST /v1/generate   {"num_graphs": 4, "num_nodes": 12 | [12, 5, ...],
                        "seed": 123?}  ->  {"graphs": [...], "latency_ms": ..}
+  POST /v1/complete   {"num_nodes": 12, "seed"?,
+                       "known_nodes": [{"index", "type"?, "bbox"?}, ...],
+                       "known_edges": [[subj, obj, predicate], ...]}
+                      -> one graph with the pinned parts verbatim
+                      (conditional completion; live checkpoint mode only)
   GET  /healthz       liveness + compiled-batch info
   GET  /v1/stats      request/graph counters, latency quantiles
 
@@ -42,6 +47,8 @@ import numpy as np
 class _Request:
     flags: np.ndarray            # [k, N] bool
     seed: int | None
+    kind: str = "gen"            # "gen" | "complete"
+    tensors: tuple | None = None  # completion: (kn, mn, kb, mb, ka, ma)
     done: threading.Event = field(default_factory=threading.Event)
     result: list | None = None
     error: str | None = None
@@ -56,8 +63,12 @@ class BatchingSampler:
     """
 
     def __init__(self, sample_fn, batch_size: int, max_node_num: int,
-                 base_seed: int = 0, linger_ms: float = 10.0):
+                 base_seed: int = 0, linger_ms: float = 10.0,
+                 complete_fn=None):
         self._fn = sample_fn
+        # optional conditional-completion fn (serving.export.make_completion_fn,
+        # live mode only — the generation artifact doesn't carry it)
+        self._complete_fn = complete_fn
         self.batch_size = batch_size
         self.max_node_num = max_node_num
         self._linger = linger_ms / 1e3
@@ -103,6 +114,61 @@ class BatchingSampler:
             raise RuntimeError(req.error)
         return req.result
 
+    def complete(self, num_nodes: int, known_nodes: list | None = None,
+                 known_edges: list | None = None, seed: int | None = None,
+                 timeout: float = 600.0) -> dict:
+        """Blocking conditional completion of ONE graph.
+
+        ``known_nodes``: [{"index": i, "type": t?, "bbox": [cx,cy,w,h]?}]
+        — type and bbox knowledge are independent.  ``known_edges``:
+        [[subj, obj, predicate], ...].  Everything not pinned is sampled;
+        pinned values come back verbatim (RePaint-style inpainting,
+        serving/export.make_completion_fn).
+        """
+        if self._complete_fn is None:
+            raise RuntimeError("completion unavailable: server was started "
+                               "from a generation artifact (live checkpoint "
+                               "mode required)")
+        n = self.max_node_num
+        num_nodes = int(num_nodes)
+        if not 1 <= num_nodes <= n:
+            raise ValueError(f"num_nodes must be in [1, {n}]")
+        flags = np.zeros((1, n), bool)
+        flags[0, :num_nodes] = True
+        kn = np.zeros((1, n), np.int32)
+        mn = np.zeros((1, n), bool)
+        kb = np.full((1, n, 4), 0.5, np.float32)
+        mb = np.zeros((1, n), bool)
+        ka = np.zeros((1, n, n), np.int32)
+        ma = np.zeros((1, n, n), bool)
+        for item in known_nodes or []:
+            i = int(item["index"])
+            if not 0 <= i < num_nodes:
+                raise ValueError(f"node index {i} out of range [0, {num_nodes})")
+            if item.get("type") is not None:
+                kn[0, i] = int(item["type"])
+                mn[0, i] = True
+            if item.get("bbox") is not None:
+                bb = np.asarray(item["bbox"], np.float32)
+                if bb.shape != (4,) or (bb < 0).any() or (bb > 1).any():
+                    raise ValueError("bbox must be 4 floats in [0, 1] (cxcywh)")
+                kb[0, i] = bb
+                mb[0, i] = True
+        for edge in known_edges or []:
+            s, o, p = (int(v) for v in edge)
+            if not (0 <= s < num_nodes and 0 <= o < num_nodes and s != o):
+                raise ValueError(f"bad edge ({s}, {o})")
+            ka[0, s, o] = p
+            ma[0, s, o] = True
+        req = _Request(flags=flags, seed=seed, kind="complete",
+                       tensors=(kn, mn, kb, mb, ka, ma))
+        self._q.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("completion timed out")
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.result[0]
+
     # ---------------------------------------------------------------- worker
     def _next_seed(self) -> int:
         with self._lock:
@@ -117,6 +183,19 @@ class BatchingSampler:
         adj, node, bbox = self._fn(np.int32(seed), flags)
         return np.asarray(adj), np.asarray(node), np.asarray(bbox)
 
+    def _call_complete(self, seed: int, req: _Request):
+        def _pad0(x):
+            pad = self.batch_size - len(x)
+            if pad:
+                x = np.concatenate(
+                    [x, np.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+            return x
+        flags = _pad0(req.flags)
+        kn, mn, kb, mb, ka, ma = (_pad0(t) for t in req.tensors)
+        adj, node, bbox = self._complete_fn(np.int32(seed), flags,
+                                            kn, mn, kb, mb, ka, ma)
+        return np.asarray(adj), np.asarray(node), np.asarray(bbox)
+
     def _run(self):
         while not self._stop.is_set():
             try:
@@ -124,8 +203,8 @@ class BatchingSampler:
             except queue.Empty:
                 continue
             batch = [first]
-            if first.seed is None:
-                # coalesce a burst; seeded requests ride alone (determinism)
+            if first.seed is None and first.kind == "gen":
+                # coalesce a burst; seeded/completion requests ride alone
                 deadline = time.time() + self._linger
                 used = len(first.flags)
                 while time.time() < deadline and used < self.batch_size:
@@ -133,7 +212,8 @@ class BatchingSampler:
                         nxt = self._q.get(timeout=max(0.0, deadline - time.time()))
                     except queue.Empty:
                         break
-                    if nxt.seed is not None or used + len(nxt.flags) > self.batch_size:
+                    if (nxt.seed is not None or nxt.kind != "gen"
+                            or used + len(nxt.flags) > self.batch_size):
                         self._q.put(nxt)  # leave for the next batch
                         break
                     batch.append(nxt)
@@ -142,7 +222,10 @@ class BatchingSampler:
             flags = np.concatenate([r.flags for r in batch], 0)
             seed = batch[0].seed if batch[0].seed is not None else self._next_seed()
             try:
-                adj, node, bbox = self._call(int(seed), flags)
+                if first.kind == "complete":
+                    adj, node, bbox = self._call_complete(int(seed), first)
+                else:
+                    adj, node, bbox = self._call(int(seed), flags)
             except Exception as e:  # surface to every waiting client
                 logging.exception("batch generation failed")
                 for r in batch:
@@ -225,23 +308,33 @@ def make_handler(batcher: BatchingSampler, idx_to_word: dict | None = None,
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/v1/generate":
+            if self.path not in ("/v1/generate", "/v1/complete"):
                 self._json(404, {"error": "not found"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
-                num_graphs = int(body.get("num_graphs", 1))
-                num_nodes = body.get("num_nodes", default_n)
                 seed = body.get("seed")
+                seed = None if seed is None else int(seed)
                 t0 = time.time()
-                graphs = batcher.generate(num_graphs, num_nodes,
-                                          None if seed is None else int(seed))
+                if self.path == "/v1/complete":
+                    graph = batcher.complete(
+                        int(body.get("num_nodes", default_n)),
+                        body.get("known_nodes"), body.get("known_edges"),
+                        seed)
+                    graphs = [graph]
+                else:
+                    graphs = batcher.generate(int(body.get("num_graphs", 1)),
+                                              body.get("num_nodes", default_n),
+                                              seed)
                 _augment_names(graphs, idx_to_word)
                 self._json(200, {"graphs": graphs,
                                  "latency_ms": (time.time() - t0) * 1e3})
-            except (ValueError, TypeError) as e:
+            except (ValueError, TypeError, KeyError) as e:
                 self._json(400, {"error": str(e)})
+            except RuntimeError as e:
+                self._json(501 if "completion unavailable" in str(e) else 500,
+                           {"error": str(e)})
             except Exception as e:
                 logging.exception("generate failed")
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})

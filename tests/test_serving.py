@@ -243,3 +243,111 @@ def test_http_server_end_to_end():
     finally:
         httpd.shutdown()
         b.close()
+
+
+# ------------------------------------------------------------------ completion
+
+def test_completion_fn_pins_known_parts(tiny_cfg, serving_fn):
+    """make_completion_fn: pinned types/edges/bboxes come back verbatim
+    (RePaint inpainting, reference conditional mode edm.py:291-329);
+    unpinned parts are sampled."""
+    from diffusesg_tpu.serving.export import make_completion_fn
+
+    _, model, params, sampler = serving_fn
+    fn = jax.jit(make_completion_fn(model, params, sampler, tiny_cfg))
+    B, N = 4, tiny_cfg.dataset.max_node_num
+    flags = _flags(B, N, [6, 6, 6, 6])
+    kn = np.zeros((B, N), np.int32)
+    mn = np.zeros((B, N), bool)
+    kb = np.full((B, N, 4), 0.5, np.float32)
+    mb = np.zeros((B, N), bool)
+    ka = np.zeros((B, N, N), np.int32)
+    ma = np.zeros((B, N, N), bool)
+    kn[:, 0] = 3; mn[:, 0] = True
+    kb[:, 0] = [0.25, 0.25, 0.1, 0.2]; mb[:, 0] = True
+    kn[:, 1] = 1; mn[:, 1] = True          # type pinned, bbox free
+    ka[:, 0, 1] = 2; ma[:, 0, 1] = True
+
+    adj, node, bbox = (np.asarray(v) for v in
+                       fn(np.int32(7), flags, kn, mn, kb, mb, ka, ma))
+    assert (node[:, 0] == 3).all() and (node[:, 1] == 1).all()
+    assert (adj[:, 0, 1] == 2).all()
+    np.testing.assert_allclose(bbox[:, 0], [[0.25, 0.25, 0.1, 0.2]] * B,
+                               atol=1e-5)
+    # determinism: same seed -> same completion
+    adj2, node2, bbox2 = (np.asarray(v) for v in
+                          fn(np.int32(7), flags, kn, mn, kb, mb, ka, ma))
+    np.testing.assert_array_equal(node, node2)
+    np.testing.assert_array_equal(adj, adj2)
+
+
+def _fake_complete_fn(seed, flags, kn, mn, kb, mb, ka, ma):
+    """Stand-in honoring the inpainting contract: pinned values verbatim,
+    free values = seed."""
+    adj, node, bbox = _fake_fn(seed, flags)
+    node = np.where(mn, kn, node)
+    bbox = np.where(mb[..., None], kb, bbox)
+    adj = np.where(ma, ka, adj)
+    return adj, node, bbox
+
+
+def test_batcher_complete_and_http_route():
+    from diffusesg_tpu.serving.server import BatchingSampler, serve
+    b = BatchingSampler(_fake_fn, batch_size=4, max_node_num=5,
+                        linger_ms=1.0, complete_fn=_fake_complete_fn)
+    httpd = serve(b, 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        g = b.complete(4, known_nodes=[{"index": 0, "type": 9},
+                                       {"index": 1, "bbox": [0.1, 0.2, 0.3, 0.4]}],
+                       known_edges=[[0, 1, 7]], seed=5)
+        assert g["nodes"][0] == 9 and g["nodes"][1] == 5  # 1: type free -> seed
+        assert g["bboxes"][1] == [pytest.approx(v) for v in [0.1, 0.2, 0.3, 0.4]]
+        assert [0, 1, 7] in g["edges"]
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/complete",
+            data=json.dumps({"num_nodes": 3, "seed": 2,
+                             "known_nodes": [{"index": 2, "type": 8}],
+                             "known_edges": [[2, 0, 3]]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            payload = json.load(r)
+        (g2,) = payload["graphs"]
+        assert g2["nodes"] == [2, 2, 8]
+        assert [2, 0, 3] in g2["edges"]
+
+        # validation -> 400
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/complete",
+            data=json.dumps({"num_nodes": 3,
+                             "known_nodes": [{"index": 7, "type": 1}]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(bad, timeout=10)
+        assert exc.value.code == 400
+    finally:
+        httpd.shutdown()
+        b.close()
+
+
+def test_complete_unavailable_in_artifact_mode():
+    from diffusesg_tpu.serving.server import BatchingSampler, serve
+    b = BatchingSampler(_fake_fn, batch_size=4, max_node_num=5, linger_ms=1.0)
+    httpd = serve(b, 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        with pytest.raises(RuntimeError, match="completion unavailable"):
+            b.complete(3)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/complete",
+            data=json.dumps({"num_nodes": 3}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc.value.code == 501
+    finally:
+        httpd.shutdown()
+        b.close()
