@@ -108,3 +108,35 @@ def test_shardmap_sampling_matches_emulation(devices):
         outs_x.append(np.asarray(xi))
     np.testing.assert_allclose(a_sm, np.concatenate(outs_a), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(x_sm, np.concatenate(outs_x), rtol=1e-5, atol=1e-6)
+
+
+def test_shardmap_carries_pallas_kernel(devices):
+    """THE point of the shard_map path: a Pallas kernel (interpret mode on
+    CPU) executes per-shard on its local batch slice inside shard_map, and
+    the batch-sharded result equals the unsharded run exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    from diffusesg_tpu.ops import mlp_block_kernel as mlpk
+    from diffusesg_tpu.ops import swin_block_v3 as v3
+    from test_swin_full_block import _case
+
+    b, h, w, c, nh, window = 4, 16, 16, 64, 4, 8
+    args = _case(b, h, w, c, nh, window, shifted=False)
+    x, ss, weights = args[0], args[1], args[2:]
+
+    v3.INTERPRET = True
+    mlpk.INTERPRET = True
+    try:
+        want = np.asarray(v3.fused_swin_block_v3(*args, nh, window))
+
+        mesh = make_mesh(2)
+        sm = jax.shard_map(
+            lambda xx, sss: v3.fused_swin_block_v3(xx, sss, *weights, nh, window),
+            mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
+            check_vma=False)
+        got = np.asarray(jax.jit(sm)(
+            *shard_batch((x, ss), mesh)))
+    finally:
+        v3.INTERPRET = False
+        mlpk.INTERPRET = False
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
