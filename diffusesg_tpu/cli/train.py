@@ -9,6 +9,7 @@ torchrun/OMPI env vars the reference reads (dist_training.py:100-126).
 from __future__ import annotations
 
 import logging
+import os
 
 import jax
 
@@ -46,11 +47,35 @@ def main(argv=None):
                                steps_per_epoch, config.train.weight_decay)
     state = create_train_state(params, list(config.train.ema_coef), optimizer)
 
+    start_epoch = 0
     if config.train.get("resume"):
-        logging.info("resuming from %s", config.train.resume)
-        payload = restore_checkpoint(config.train.resume, state)
+        resume = config.train.resume
+        # a run dir (or its models_ckpt/) resolves to its NEWEST checkpoint —
+        # preempt included — so `--resume <run_dir>` restarts a preempted job
+        continue_epochs = False
+        def _is_ckpt(d):  # an orbax checkpoint itself, not a house of them
+            return os.path.exists(os.path.join(d, "_CHECKPOINT_METADATA"))
+
+        for cand in (os.path.join(resume, "models_ckpt"), resume):
+            if os.path.isdir(cand) and not _is_ckpt(cand):
+                from ..utils.checkpoint import list_checkpoints
+                ckpts = [c for c in list_checkpoints(cand) if _is_ckpt(c)]
+                if ckpts:
+                    resume = max(ckpts, key=os.path.getmtime)
+                    continue_epochs = True  # run-dir resume = "continue me"
+                    break
+        logging.info("resuming from %s", resume)
+        payload = restore_checkpoint(resume, state)
         from ..utils.checkpoint import state_from_payload
         state = state_from_payload(payload)
+        extra = payload.get("extra", {})
+        # epoch numbering continues for run-dir resumes and preemption
+        # checkpoints; an EXPLICIT checkpoint path keeps the reference's
+        # semantics (train max_epoch fresh epochs from the restored state,
+        # learning_utils.py:95-98)
+        if continue_epochs or extra.get("preempted"):
+            start_epoch = int(extra.get("epoch", -1)) + 1
+            logging.info("continuing at epoch %d", start_epoch)
 
     step_cfg = train_step_config_from(config)
     train_step = make_train_step(model.apply, optimizer, step_cfg)
@@ -60,7 +85,7 @@ def main(argv=None):
 
     go_training(model, state, train_step, eval_step, config, bundle,
                 optimizer=optimizer, step_cfg=step_cfg,
-                mc_sampler=mc_sampler, writer=writer)
+                mc_sampler=mc_sampler, writer=writer, start_epoch=start_epoch)
     writer.close()
     logging.info("training complete")
 

@@ -23,13 +23,22 @@ from ..utils.logging_utils import LossTxtLogger, ScalarWriter
 
 def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
                 mc_sampler=None, writer: ScalarWriter | None = None,
-                optimizer=None, step_cfg=None):
+                optimizer=None, step_cfg=None, start_epoch: int = 0):
     """Run the full training loop; returns the final TrainState.
 
     ``config.tpu.spmd_mode`` picks the multi-device strategy: "gspmd"
     (default — pjit + NamedSharding, ZeRO-1 state) or "shard_map" (explicit
     per-shard execution that carries the Pallas kernels to multi-chip,
     parallel/shardmap_dp.py; requires ``optimizer`` + ``step_cfg``).
+
+    ``start_epoch`` continues an interrupted run (cli/train.py --resume).
+
+    Preemption safety (no reference counterpart — cloud TPUs are
+    preemptible): on SIGTERM/SIGINT the loop finishes the current step
+    (single-process; multi-host waits for the epoch boundary so all hosts
+    leave their collectives together), writes ``models_ckpt/preempt`` with
+    the epoch to re-run, and returns cleanly.  ``--resume <run_dir>``
+    restores the newest checkpoint, preempt included.
     """
     # imported here to avoid a train <-> parallel circular import
     from ..parallel.mesh import is_main_process, make_mesh, shard_batch, sync_hosts
@@ -105,7 +114,28 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
         reps = -(-batch_size // n)
         return tuple(np.concatenate([a] * reps, 0)[:batch_size] for a in arrs), n
 
-    for epoch in range(config.train.max_epoch):
+    # graceful-preemption flag: flipped by SIGTERM/SIGINT, acted on at the
+    # next safe point (signal handlers only install on the main thread)
+    preempt = {"flag": False, "broke_mid_epoch": False}
+
+    def _on_signal(signum, frame):
+        preempt["flag"] = True
+        logging.warning("signal %d: will checkpoint and exit at the next "
+                        "safe point", signum)
+
+    import signal as _signal
+    old_handlers = {}
+    try:
+        for sig in (_signal.SIGTERM, _signal.SIGINT):
+            old_handlers[sig] = _signal.signal(sig, _on_signal)
+    except ValueError:
+        old_handlers = {}
+
+    def _restore_handlers():
+        for sig, h in old_handlers.items():
+            _signal.signal(sig, h)
+
+    for epoch in range(start_epoch, config.train.max_epoch):
         train_batches.set_epoch(epoch)
         t0 = time.time()
 
@@ -125,6 +155,11 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
             rng, sub = jax.random.split(rng)
             state, metrics = sharded_step(state, sub, *batch)
             ep_metrics.append(metrics)
+            if preempt["flag"] and jax.process_count() == 1:
+                # single-process: stop mid-epoch (multi-host must reach the
+                # epoch boundary so every host exits its collectives in step)
+                preempt["broke_mid_epoch"] = True
+                break
 
         fetched = _fetch_metrics(ep_metrics)  # single blocking transfer
         dt = time.time() - t0
@@ -142,6 +177,23 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
             writer.add_scalar("train_epoch/regression_loss_adj", ep_loss_a, epoch)
             writer.add_scalar("train_epoch/regression_loss_node", ep_loss_x, epoch)
             writer.add_scalar("train_epoch/time_s", dt, epoch)
+
+        # graceful preemption: checkpoint and leave (all hosts must agree
+        # before the collective save — one host may get the signal first)
+        flag = preempt["flag"]
+        if jax.process_count() > 1:
+            from ..parallel.mesh import gather_to_host as _gth
+            flag = bool(_gth(np.asarray([flag])).any())
+        if flag:
+            resume_epoch = epoch - 1 if preempt["broke_mid_epoch"] else epoch
+            save_checkpoint(os.path.join(config.model_ckpt_dir, "preempt"),
+                            state, extra={"epoch": resume_epoch,
+                                          "preempted": True})
+            logging.warning("preempted: saved models_ckpt/preempt "
+                            "(resume re-runs from epoch %d)", resume_epoch + 1)
+            _restore_handlers()
+            loss_txt.close()
+            return state
 
         # test pass + checkpointing (reference: trainer_node_adj.py:238-254)
         if epoch % save_interval == save_interval - 1 or epoch == 0:
@@ -193,5 +245,6 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
             sg_go_sampling(model, sample_params, mc_sampler, config, bundle,
                            epoch=epoch, eval_mode=False, sanity_check=epoch == 0,
                            sampling_params=sampling_params, writer=writer)
+    _restore_handlers()
     loss_txt.close()
     return state

@@ -182,3 +182,80 @@ def test_train_cli_shard_map_mode(tiny_cfg_file, tmp_path):
     df = pd.read_csv(csv)
     # epoch-0 sanity row + epoch-1 real (shard_map-sampled) inference row
     assert len(df) >= 2 and np.isfinite(df["node_type_mmd_gaussian"].iloc[-1])
+
+
+def test_preemption_checkpoint_and_run_dir_resume(tiny_cfg_file, tmp_path):
+    """SIGTERM mid-training writes models_ckpt/preempt and exits cleanly;
+    `--resume <run_dir>` picks it up and continues to completion at the
+    right epoch (no reference counterpart — preemptible-TPU safety)."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    import yaml as _yaml
+    from diffusesg_tpu.utils.checkpoint import restore_checkpoint
+
+    with open(tiny_cfg_file) as f:
+        raw = _yaml.safe_load(f)
+    raw["exp_dir"] = str(tmp_path / "exp_pre")
+    raw["train"]["max_epoch"] = 60      # long enough to be interrupted
+    raw["train"]["save_interval"] = 1000  # no periodic ckpts: preempt only
+    raw["train"]["sample_interval"] = 1000
+    cfg = tmp_path / "pre.yaml"
+    with open(cfg, "w") as f:
+        _yaml.safe_dump(raw, f)
+
+    driver = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_num_cpu_devices', 2)\n"
+        f"import sys; sys.path.insert(0, {repr(os.getcwd())})\n"
+        "from diffusesg_tpu.cli import train as t\n"
+        f"t.main(['-c', {repr(str(cfg))}, '--data_root', '/nonexistent'])\n"
+        "print('TRAIN_EXITED_CLEANLY')\n")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "JAX_PLATFORMS")}
+    proc = subprocess.Popen([sys.executable, "-c", driver], env=env,
+                            cwd=os.getcwd(), stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    # wait until some training happened (first scalars written), then TERM
+    deadline = _time.time() + 420
+    run_dir = None
+    while _time.time() < deadline:
+        runs = glob.glob(str(tmp_path / "exp_pre" / "*" / "*" / "scalars.jsonl"))
+        if runs and os.path.getsize(runs[0]) > 0:
+            run_dir = os.path.dirname(runs[0])
+            break
+        if proc.poll() is not None:
+            break
+        _time.sleep(2)
+    assert run_dir, f"training never started:\n{proc.stdout.read()[-3000:]}"
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=300)
+    assert proc.returncode == 0, f"not a clean exit:\n{out[-3000:]}"
+    assert "TRAIN_EXITED_CLEANLY" in out
+    pre = os.path.join(run_dir, "models_ckpt", "preempt")
+    assert os.path.isdir(pre), f"no preempt checkpoint:\n{out[-3000:]}"
+    payload = restore_checkpoint(pre)
+    assert payload["extra"]["preempted"] and int(payload["step"]) > 0
+
+    # run-dir resume continues the interrupted run to completion
+    from diffusesg_tpu.cli import train as train_cli
+    with open(cfg) as f:
+        raw2 = _yaml.safe_load(f)
+    raw2["train"]["max_epoch"] = int(payload["extra"]["epoch"]) + 3
+    raw2["train"]["save_interval"] = 1  # so the short resumed run checkpoints
+    cfg2 = tmp_path / "pre2.yaml"
+    with open(cfg2, "w") as f:
+        _yaml.safe_dump(raw2, f)
+    train_cli.main(["-c", str(cfg2), "--data_root", "/nonexistent",
+                    "--resume", run_dir])
+    runs2 = sorted(glob.glob(str(tmp_path / "exp_pre" / "*" / "*")),
+                   key=os.path.getmtime)
+    resumed_dir = runs2[-1]
+    assert resumed_dir != run_dir
+    final = sorted(glob.glob(os.path.join(resumed_dir, "models_ckpt", "*")))
+    assert final, "resumed run saved no checkpoint"
+    res = restore_checkpoint(final[-1])
+    assert int(res["step"]) > int(payload["step"])
