@@ -135,116 +135,117 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
         for sig, h in old_handlers.items():
             _signal.signal(sig, h)
 
-    for epoch in range(start_epoch, config.train.max_epoch):
-        train_batches.set_epoch(epoch)
-        t0 = time.time()
+    try:
+        for epoch in range(start_epoch, config.train.max_epoch):
+            train_batches.set_epoch(epoch)
+            t0 = time.time()
 
-        # no per-step host sync: metrics stay on device and are fetched ONCE
-        # at epoch end (the reference blocks every step via .cpu()/.item(),
-        # trainer_utils.py:36-58 — a TPU-first loop keeps the pipeline full)
-        ep_metrics = []
+            # no per-step host sync: metrics stay on device and are fetched ONCE
+            # at epoch end (the reference blocks every step via .cpu()/.item(),
+            # trainer_utils.py:36-58 — a TPU-first loop keeps the pipeline full)
+            ep_metrics = []
 
-        def _put(item):
-            adjs, nodes, flags, _ids = item
-            padded, _ = _pad_batch((adjs, nodes, flags))
-            return shard_batch(padded, mesh)
+            def _put(item):
+                adjs, nodes, flags, _ids = item
+                padded, _ = _pad_batch((adjs, nodes, flags))
+                return shard_batch(padded, mesh)
 
-        # double-buffered prefetch: the next batch's H2D copy overlaps the
-        # current step's compute (device_put is async on TPU)
-        for batch in prefetch_to_device(train_batches, _put):
-            rng, sub = jax.random.split(rng)
-            state, metrics = sharded_step(state, sub, *batch)
-            ep_metrics.append(metrics)
-            if preempt["flag"] and jax.process_count() == 1:
-                # single-process: stop mid-epoch (multi-host must reach the
-                # epoch boundary so every host exits its collectives in step)
-                preempt["broke_mid_epoch"] = True
-                break
-
-        fetched = _fetch_metrics(ep_metrics)  # single blocking transfer
-        dt = time.time() - t0
-        n_steps = len(fetched)
-        ep_loss_a = float(np.mean([m["loss_adj"] for m in fetched])) if fetched else 0.0
-        ep_loss_x = float(np.mean([m["loss_node"] for m in fetched])) if fetched else 0.0
-        if is_main_process():
-            for m in fetched:
-                loss_txt.write("train", epoch, m["sigmas"],
-                               m["loss_adj_per_sample"],
-                               m["loss_node_per_sample"])
-        logging.info("epoch %05d | train loss adj %.6f node %.6f | %.1fs",
-                     epoch, ep_loss_a, ep_loss_x, dt)
-        if writer is not None:
-            writer.add_scalar("train_epoch/regression_loss_adj", ep_loss_a, epoch)
-            writer.add_scalar("train_epoch/regression_loss_node", ep_loss_x, epoch)
-            writer.add_scalar("train_epoch/time_s", dt, epoch)
-
-        # graceful preemption: checkpoint and leave (all hosts must agree
-        # before the collective save — one host may get the signal first)
-        flag = preempt["flag"]
-        if jax.process_count() > 1:
-            from ..parallel.mesh import gather_to_host as _gth
-            flag = bool(_gth(np.asarray([flag])).any())
-        if flag:
-            resume_epoch = epoch - 1 if preempt["broke_mid_epoch"] else epoch
-            save_checkpoint(os.path.join(config.model_ckpt_dir, "preempt"),
-                            state, extra={"epoch": resume_epoch,
-                                          "preempted": True})
-            logging.warning("preempted: saved models_ckpt/preempt "
-                            "(resume re-runs from epoch %d)", resume_epoch + 1)
-            _restore_handlers()
-            loss_txt.close()
-            return state
-
-        # test pass + checkpointing (reference: trainer_node_adj.py:238-254)
-        if epoch % save_interval == save_interval - 1 or epoch == 0:
-            test_params = ema_slice(state.ema_params, 0)  # smallest beta
-            test_metrics = []
-            for adjs, nodes, flags, _ids in test_batches:
-                (adjs, nodes, flags), _ = _pad_batch((adjs, nodes, flags))
-                batch = shard_batch((adjs, nodes, flags), mesh)
+            # double-buffered prefetch: the next batch's H2D copy overlaps the
+            # current step's compute (device_put is async on TPU)
+            for batch in prefetch_to_device(train_batches, _put):
                 rng, sub = jax.random.split(rng)
-                test_metrics.append(jit_eval(test_params, sub, *batch))
-            test_metrics = _fetch_metrics(test_metrics)
-            m = len(test_metrics)
-            te_loss_a = float(np.sum([t["loss_adj"] for t in test_metrics]))
-            te_loss_x = float(np.sum([t["loss_node"] for t in test_metrics]))
+                state, metrics = sharded_step(state, sub, *batch)
+                ep_metrics.append(metrics)
+                if preempt["flag"] and jax.process_count() == 1:
+                    # single-process: stop mid-epoch (multi-host must reach the
+                    # epoch boundary so every host exits its collectives in step)
+                    preempt["broke_mid_epoch"] = True
+                    break
+
+            fetched = _fetch_metrics(ep_metrics)  # single blocking transfer
+            dt = time.time() - t0
+            n_steps = len(fetched)
+            ep_loss_a = float(np.mean([m["loss_adj"] for m in fetched])) if fetched else 0.0
+            ep_loss_x = float(np.mean([m["loss_node"] for m in fetched])) if fetched else 0.0
             if is_main_process():
-                for t in test_metrics:
-                    loss_txt.write("test", epoch, t["sigmas"],
-                                   t["loss_adj_per_sample"],
-                                   t["loss_node_per_sample"])
-            te_loss = (te_loss_a + te_loss_x) / max(m, 1)
-            logging.info("epoch %05d | test loss %.6f", epoch, te_loss)
+                for m in fetched:
+                    loss_txt.write("train", epoch, m["sigmas"],
+                                   m["loss_adj_per_sample"],
+                                   m["loss_node_per_sample"])
+            logging.info("epoch %05d | train loss adj %.6f node %.6f | %.1fs",
+                         epoch, ep_loss_a, ep_loss_x, dt)
             if writer is not None:
-                writer.add_scalar("test_epoch/regression_loss_adj", te_loss_a / max(m, 1), epoch)
-                writer.add_scalar("test_epoch/regression_loss_node", te_loss_x / max(m, 1), epoch)
+                writer.add_scalar("train_epoch/regression_loss_adj", ep_loss_a, epoch)
+                writer.add_scalar("train_epoch/regression_loss_node", ep_loss_x, epoch)
+                writer.add_scalar("train_epoch/time_s", dt, epoch)
 
-            # every process joins: the ZeRO-1 leaf gather and orbax's save
-            # barriers are collectives (orbax does the rank-0 write gating).
-            # te_loss is identical on all hosts (replicated metrics), so the
-            # best-ckpt branch agrees.
-            ckpt_path = os.path.join(config.model_ckpt_dir, f"{epoch:05d}")
-            save_checkpoint(ckpt_path, state,
-                            extra={"epoch": epoch, "test_loss": te_loss})
-            if te_loss < lowest["loss"] and epoch >= min(
-                    save_interval, config.train.max_epoch - 1):
-                lowest.update(epoch=epoch, loss=te_loss)
-                save_checkpoint(os.path.join(config.model_save_dir, "best"),
-                                state, extra={"epoch": epoch, "test_loss": te_loss})
-        sync_hosts(f"epoch_{epoch}")
+            # graceful preemption: checkpoint and leave (all hosts must agree
+            # before the collective save — one host may get the signal first)
+            flag = preempt["flag"]
+            if jax.process_count() > 1:
+                from ..parallel.mesh import gather_to_host as _gth
+                flag = bool(_gth(np.asarray([flag])).any())
+            if flag:
+                resume_epoch = epoch - 1 if preempt["broke_mid_epoch"] else epoch
+                save_checkpoint(os.path.join(config.model_ckpt_dir, "preempt"),
+                                state, extra={"epoch": resume_epoch,
+                                              "preempted": True})
+                logging.warning("preempted: saved models_ckpt/preempt "
+                                "(resume re-runs from epoch %d)", resume_epoch + 1)
+                loss_txt.close()
+                return state  # the finally below restores the handlers
 
-        # in-training sampling with the largest-beta EMA
-        # (reference: trainer_node_adj.py:262-284)
-        if mc_sampler is not None and epoch % sample_interval == 0:
-            sample_params = ema_slice(state.ema_params, -1)
-            beta = float(np.asarray(jax.device_get(state.ema_betas))[-1])
-            sampling_params = {
-                "model_nm": f"training_e{epoch:05d}",
-                "weight_kw": f"{beta:.3f}",
-                "model_path": os.path.join(config.model_ckpt_dir, f"{epoch:05d}")}
-            sg_go_sampling(model, sample_params, mc_sampler, config, bundle,
-                           epoch=epoch, eval_mode=False, sanity_check=epoch == 0,
-                           sampling_params=sampling_params, writer=writer)
-    _restore_handlers()
+            # test pass + checkpointing (reference: trainer_node_adj.py:238-254)
+            if epoch % save_interval == save_interval - 1 or epoch == 0:
+                test_params = ema_slice(state.ema_params, 0)  # smallest beta
+                test_metrics = []
+                for adjs, nodes, flags, _ids in test_batches:
+                    (adjs, nodes, flags), _ = _pad_batch((adjs, nodes, flags))
+                    batch = shard_batch((adjs, nodes, flags), mesh)
+                    rng, sub = jax.random.split(rng)
+                    test_metrics.append(jit_eval(test_params, sub, *batch))
+                test_metrics = _fetch_metrics(test_metrics)
+                m = len(test_metrics)
+                te_loss_a = float(np.sum([t["loss_adj"] for t in test_metrics]))
+                te_loss_x = float(np.sum([t["loss_node"] for t in test_metrics]))
+                if is_main_process():
+                    for t in test_metrics:
+                        loss_txt.write("test", epoch, t["sigmas"],
+                                       t["loss_adj_per_sample"],
+                                       t["loss_node_per_sample"])
+                te_loss = (te_loss_a + te_loss_x) / max(m, 1)
+                logging.info("epoch %05d | test loss %.6f", epoch, te_loss)
+                if writer is not None:
+                    writer.add_scalar("test_epoch/regression_loss_adj", te_loss_a / max(m, 1), epoch)
+                    writer.add_scalar("test_epoch/regression_loss_node", te_loss_x / max(m, 1), epoch)
+
+                # every process joins: the ZeRO-1 leaf gather and orbax's save
+                # barriers are collectives (orbax does the rank-0 write gating).
+                # te_loss is identical on all hosts (replicated metrics), so the
+                # best-ckpt branch agrees.
+                ckpt_path = os.path.join(config.model_ckpt_dir, f"{epoch:05d}")
+                save_checkpoint(ckpt_path, state,
+                                extra={"epoch": epoch, "test_loss": te_loss})
+                if te_loss < lowest["loss"] and epoch >= min(
+                        save_interval, config.train.max_epoch - 1):
+                    lowest.update(epoch=epoch, loss=te_loss)
+                    save_checkpoint(os.path.join(config.model_save_dir, "best"),
+                                    state, extra={"epoch": epoch, "test_loss": te_loss})
+            sync_hosts(f"epoch_{epoch}")
+
+            # in-training sampling with the largest-beta EMA
+            # (reference: trainer_node_adj.py:262-284)
+            if mc_sampler is not None and epoch % sample_interval == 0:
+                sample_params = ema_slice(state.ema_params, -1)
+                beta = float(np.asarray(jax.device_get(state.ema_betas))[-1])
+                sampling_params = {
+                    "model_nm": f"training_e{epoch:05d}",
+                    "weight_kw": f"{beta:.3f}",
+                    "model_path": os.path.join(config.model_ckpt_dir, f"{epoch:05d}")}
+                sg_go_sampling(model, sample_params, mc_sampler, config, bundle,
+                               epoch=epoch, eval_mode=False, sanity_check=epoch == 0,
+                               sampling_params=sampling_params, writer=writer)
+    finally:
+        _restore_handlers()
     loss_txt.close()
     return state
