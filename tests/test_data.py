@@ -146,3 +146,36 @@ def test_split_eval_set():
     assert len(small) == 4
     big = split_eval_set(ds, 25)
     assert len(big) == 25
+
+
+def test_pickle_roundtrip_real_loader_path(tmp_path):
+    """Materialized reference-schema pickles load through the REAL file path
+    (not the synthetic fallback) and match the in-memory synthetic bundle —
+    proves on-disk schema compatibility (reference: dataloader.py:55-61)."""
+    import sys
+    sys.path.insert(0, "scripts")
+    from make_dataset_pickles import write_pickles
+
+    from diffusesg_tpu.config import load_config
+    from diffusesg_tpu.data import load_data
+
+    cfg = load_config("configs/vg_small_test.yaml")
+    with cfg.unlocked():
+        cfg.dataset.max_node_num = 12
+        cfg.dataset.subset = None
+    written = write_pickles(str(tmp_path), "visual_genome", max_node_num=12,
+                            num_train=24, num_test=12, seed=3)
+    assert len(written) == 5
+    bundle = load_data(cfg, data_root=str(tmp_path))
+
+    assert len(bundle.train) == 24 and len(bundle.test) == 12
+    assert bundle.idx_to_word["ind_to_classes"][0] == "obj_0"
+    # tensors took the real pickle path: shapes/encodings/flags consistent
+    assert bundle.train.adjs.shape == (24, 12, 12)
+    assert bundle.train.nodes.shape == (24, 12, 5)  # ddpm type + 4 bbox chans
+    assert bundle.train.node_flags.dtype == bool
+    assert bundle.train.pkl_data and "node_labels" in bundle.train.pkl_data[0]
+    # encoded ranges: ddpm types and bboxes live in [-1, 1] on valid slots
+    f = bundle.train.node_flags
+    assert np.abs(bundle.train.nodes[f]).max() <= 1.0 + 1e-6
+    assert np.abs(bundle.train.adjs[f[:, :, None] & f[:, None, :]]).max() <= 1.0 + 1e-6
