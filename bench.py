@@ -24,7 +24,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 CPU_REFERENCE_GRAPHS_PER_SEC = 4 / 0.7322 / 1999  # 0.002733
 
 
+def _arm_init_watchdog(seconds: float):
+    """Fail fast instead of hanging the driver when the TPU tunnel is down:
+    backend init can block forever inside a C call (uninterruptible), so a
+    daemon timer emits an error JSON line and hard-exits.  Disarmed once
+    jax.devices() returns."""
+    import threading
+
+    armed = {"on": True}
+
+    def _fire():
+        if armed["on"]:
+            print(json.dumps({
+                "metric": "graphs_per_sec_per_chip_1000step_sampling",
+                "value": 0.0, "unit": "graphs/s/chip", "vs_baseline": 0.0,
+                "error": f"backend init exceeded {seconds:.0f}s "
+                         "(TPU tunnel down?)"}), flush=True)
+            os._exit(1)
+
+    t = threading.Timer(seconds, _fire)
+    t.daemon = True
+    t.start()
+    return lambda: armed.update(on=False)
+
+
 def main():
+    disarm = _arm_init_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT", 600)))
     import jax
     # persistent compilation cache: repeated bench/driver runs skip the
     # multi-minute XLA compile when supported by the backend
@@ -52,6 +77,7 @@ def main():
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     backend = jax.default_backend()
+    disarm()  # backend is up; long compiles/runs are the driver's business
 
     config_name = os.environ.get("BENCH_CONFIG", "vg")
     config_file = {
