@@ -91,7 +91,12 @@ def _load_from_checkpoint(args):
     from ..serving.export import make_completion_fn
     complete_fn = jax.jit(make_completion_fn(model, params, sampler, config))
     batch = args.batch_size or config.test.batch_size or config.train.batch_size
-    return serve_fn, complete_fn, int(batch), int(config.dataset.max_node_num), config
+    from ..models.channels import resolve_sampling_channels
+    info = resolve_sampling_channels(config)
+    bounds = (int(info["raw_num_node_type"]),
+              int(info["raw_num_adj_type"] if not info["flag_binary_edge"] else 2))
+    return (serve_fn, complete_fn, int(batch),
+            int(config.dataset.max_node_num), config, bounds)
 
 
 def main(argv=None):
@@ -104,6 +109,7 @@ def main(argv=None):
     idx_to_word = None
     config = None
     complete_fn = None  # artifact mode serves generation only (HTTP 501)
+    bounds = (None, None)
     if args.from_artifact:
         from ..serving.export import load_artifact
         fn, meta = load_artifact(args.from_artifact)
@@ -112,7 +118,7 @@ def main(argv=None):
     else:
         if not args.model_path:
             raise SystemExit("need -p/--model_path or --from_artifact")
-        fn, complete_fn, batch, max_n, config = _load_from_checkpoint(args)
+        fn, complete_fn, batch, max_n, config, bounds = _load_from_checkpoint(args)
         if args.batch_size:
             batch = args.batch_size
 
@@ -138,7 +144,9 @@ def main(argv=None):
 
     batcher = BatchingSampler(fn, batch, max_n, base_seed=args.seed,
                               linger_ms=args.linger_ms,
-                              complete_fn=complete_fn)
+                              complete_fn=complete_fn,
+                              num_node_types=bounds[0],
+                              num_edge_types=bounds[1])
     logging.info("warming up (first XLA compile)...")
     batcher.warmup()
     httpd = serve(batcher, args.port, idx_to_word)

@@ -46,7 +46,15 @@ class Batches:
         if self.shuffle:
             rs = np.random.RandomState(self.seed + self._epoch)
             rs.shuffle(idx)
-        # per-host strided shard, same role as DistributedSampler
+        if self.process_count > 1:
+            # wrap-pad so every host gets the SAME shard length, like the
+            # reference DistributedSampler (dataloader.py:26-29): unequal
+            # shards would make hosts run different numbers of collective
+            # train steps -> distributed hang
+            total = -(-n // self.process_count) * self.process_count
+            if total > n:
+                idx = np.concatenate([idx, idx[: total - n]])
+        # per-host strided shard
         return idx[self.process_index::self.process_count]
 
     def __iter__(self) -> Iterator[tuple]:
@@ -101,10 +109,19 @@ def prefetch_to_device(iterator, put_fn, size: int = 2) -> Iterator:
 def shard_for_process(data: SceneGraphData, process_index: int,
                       process_count: int) -> SceneGraphData:
     """Per-process strided shard of a packed dataset (the eval-side
-    DistributedSampler analogue, reference: utils/dataloader.py:26-29)."""
+    DistributedSampler analogue, reference: utils/dataloader.py:26-29).
+
+    Every process gets EXACTLY ceil(n / process_count) rows — shorter shards
+    are wrap-padded at the END (so a post-gather trim can drop the pads,
+    see orchestrator.trim_process_padding) — because the multi-host result
+    allgather requires identical local shapes on every host.
+    """
     if process_count <= 1:
         return data
+    per = -(-len(data) // process_count)
     sel = np.arange(process_index, len(data), process_count)
+    if len(sel) < per:  # wrap-pad (reference DistributedSampler semantics)
+        sel = np.concatenate([sel, sel[: per - len(sel)]])
     return SceneGraphData(
         adjs=data.adjs[sel], nodes=data.nodes[sel],
         node_flags=data.node_flags[sel], image_ids=data.image_ids[sel],

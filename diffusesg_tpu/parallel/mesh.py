@@ -122,6 +122,19 @@ def gather_to_host(x: jax.Array) -> np.ndarray:
     return np.asarray(jax.device_get(x))
 
 
+def fetch_to_host(tree: Any) -> Any:
+    """device_get a pytree, all-gathering any leaf that spans non-addressable
+    devices (multi-host sharded state/metrics).  COLLECTIVE whenever such a
+    leaf exists — every process must make the same call.  The single home of
+    this rule (used by the trainer's metric fetch, checkpointing, and the
+    eval orchestrator's params gather)."""
+    def _leaf(x):
+        if isinstance(x, jax.Array) and not getattr(x, "is_fully_addressable", True):
+            return gather_to_host(x)
+        return np.asarray(jax.device_get(x))
+    return jax.tree.map(_leaf, tree)
+
+
 def sync_hosts(name: str = "sync"):
     """Barrier across hosts (reference: dist_training.py:87-91 ddp_sync)."""
     if jax.process_count() > 1:

@@ -136,10 +136,8 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
         # params may arrive sharded over the GLOBAL training mesh (ZeRO-1
         # EMA leaves); gather to host (COLLECTIVE) before placing them on
         # the local sampling mesh
-        params = jax.tree.map(
-            lambda x: gather_to_host(x)
-            if isinstance(x, jax.Array) and not x.is_fully_addressable else x,
-            params)
+        from ..parallel.mesh import fetch_to_host
+        params = fetch_to_host(params)
     else:
         mesh = make_mesh(n_dev)
     batch_size = -(-batch_size // mesh.size) * mesh.size
@@ -289,6 +287,17 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
     # multi-host: gather every result tensor (reference: sampler_node_adj.py:331-345)
     if jax.process_count() > 1:
         res = {k: gather_to_host(v) for k, v in res.items()}
+        # drop shard_for_process's wrap-padding: each host contributed
+        # k = ceil(T/P) rows, of which the first r_p are real
+        n_proc = jax.process_count()
+        k_per = -(-total_samples // n_proc)
+        keep = np.concatenate([
+            np.arange(p * k_per,
+                      p * k_per + total_samples // n_proc
+                      + (1 if p < total_samples % n_proc else 0))
+            for p in range(n_proc)])
+        res = {k: (v[keep] if getattr(v, "shape", ())[:1] == (n_proc * k_per,)
+                   else v) for k, v in res.items()}
 
     if not is_main_process():
         return {}

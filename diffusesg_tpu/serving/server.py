@@ -64,11 +64,17 @@ class BatchingSampler:
 
     def __init__(self, sample_fn, batch_size: int, max_node_num: int,
                  base_seed: int = 0, linger_ms: float = 10.0,
-                 complete_fn=None):
+                 complete_fn=None, num_node_types: int | None = None,
+                 num_edge_types: int | None = None):
         self._fn = sample_fn
         # optional conditional-completion fn (serving.export.make_completion_fn,
         # live mode only — the generation artifact doesn't carry it)
         self._complete_fn = complete_fn
+        # label-count bounds for request validation (when known): pinning an
+        # out-of-range type would silently encode to garbage, breaking the
+        # "pinned parts come back verbatim" contract
+        self._num_node_types = num_node_types
+        self._num_edge_types = num_edge_types
         self.batch_size = batch_size
         self.max_node_num = max_node_num
         self._linger = linger_ms / 1e3
@@ -82,10 +88,23 @@ class BatchingSampler:
         self._worker.start()
 
     def warmup(self):
-        """Compile the batch program before serving traffic."""
+        """Compile the batch program(s) before serving traffic."""
         flags = np.zeros((self.batch_size, self.max_node_num), bool)
         flags[:, :1] = True
         self._call(0, flags)
+        if self._complete_fn is not None:
+            # also compile the completion program — otherwise the first
+            # /v1/complete blocks for a full XLA compile (minutes on a
+            # remote-compile backend) and can outlive the request timeout
+            n = self.max_node_num
+            req = _Request(
+                flags=flags[:1], seed=0, kind="complete",
+                tensors=(np.zeros((1, n), np.int32), np.zeros((1, n), bool),
+                         np.full((1, n, 4), 0.5, np.float32),
+                         np.zeros((1, n), bool),
+                         np.zeros((1, n, n), np.int32),
+                         np.zeros((1, n, n), bool)))
+            self._call_complete(0, req)
 
     def close(self):
         self._stop.set()
@@ -146,7 +165,12 @@ class BatchingSampler:
             if not 0 <= i < num_nodes:
                 raise ValueError(f"node index {i} out of range [0, {num_nodes})")
             if item.get("type") is not None:
-                kn[0, i] = int(item["type"])
+                t = int(item["type"])
+                if t < 0 or (self._num_node_types is not None
+                             and t >= self._num_node_types):
+                    raise ValueError(f"node type {t} out of range "
+                                     f"[0, {self._num_node_types})")
+                kn[0, i] = t
                 mn[0, i] = True
             if item.get("bbox") is not None:
                 bb = np.asarray(item["bbox"], np.float32)
@@ -158,6 +182,11 @@ class BatchingSampler:
             s, o, p = (int(v) for v in edge)
             if not (0 <= s < num_nodes and 0 <= o < num_nodes and s != o):
                 raise ValueError(f"bad edge ({s}, {o})")
+            # p == 0 pins "no edge" (null predicate) — deliberately allowed
+            if p < 0 or (self._num_edge_types is not None
+                         and p >= self._num_edge_types):
+                raise ValueError(f"predicate {p} out of range "
+                                 f"[0, {self._num_edge_types})")
             ka[0, s, o] = p
             ma[0, s, o] = True
         req = _Request(flags=flags, seed=seed, kind="complete",

@@ -92,17 +92,8 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
     # per-device fold_in(axis_index) (shard_map), not from the key.
     rng = jax.random.PRNGKey(config.seed + 1000)
 
-    def _fetch_metrics(tree):
-        """device_get, but all-gather the batch-sharded per-sample leaves
-        first — on a multi-host pod they span non-addressable devices."""
-        from ..parallel.mesh import gather_to_host
-
-        def _leaf(x):
-            if getattr(x, "is_fully_addressable", True):
-                return jax.device_get(x)
-            return gather_to_host(x)
-
-        return jax.tree.map(_leaf, tree)
+    # device_get with multi-host-aware gathering of non-addressable leaves
+    from ..parallel.mesh import fetch_to_host as _fetch_metrics
 
     def _pad_batch(arrs):
         """Repeat-pad a trailing partial batch to the full size so the

@@ -29,14 +29,10 @@ if TYPE_CHECKING:  # avoid a utils <-> train circular import at runtime
 
 
 def _to_host(tree: Any) -> Any:
-    def _leaf(x):
-        if isinstance(x, jax.Array) and not getattr(x, "is_fully_addressable", True):
-            # multi-host sharded leaf (ZeRO-1 moments/EMAs): COLLECTIVE
-            # gather — every process must reach this point
-            from ..parallel.mesh import gather_to_host
-            return gather_to_host(x)
-        return np.asarray(jax.device_get(x))
-    return jax.tree.map(_leaf, tree)
+    # multi-host sharded leaves (ZeRO-1 moments/EMAs) gather COLLECTIVELY —
+    # every process must reach this point
+    from ..parallel.mesh import fetch_to_host
+    return fetch_to_host(tree)
 
 
 def save_checkpoint(path: str, state: "TrainState", extra: dict | None = None) -> None:

@@ -37,7 +37,9 @@ def main():
     raw["test"]["num_interim"] = 0
     raw["train"]["ema_coef"] = [0.9]
     raw["test"]["batch_size"] = 8
-    raw["test"]["eval_size"] = 8
+    # NOT divisible by 2 processes: exercises shard_for_process wrap-padding
+    # + the orchestrator's post-gather trim
+    raw["test"]["eval_size"] = 7
     raw["mcmc"]["num_steps"] = 4
     cfg_path = os.path.join(exp_dir, f"cfg_{os.environ['DSG_PROCESS_ID']}.yaml")
     os.makedirs(exp_dir, exist_ok=True)

@@ -100,13 +100,16 @@ def test_batches_iteration_and_sharding():
         assert adjs.shape[0] <= 4
         seen += adjs.shape[0]
     assert seen == 13
-    # two-host sharding covers the dataset disjointly
+    # two-host sharding covers the whole dataset with equal shard lengths
+    # (ceil(13/2)=7 each; ONE wrap-padded duplicate, DistributedSampler-style,
+    # so both hosts run the same number of collective steps)
     b0 = Batches(ds, 4, shuffle=False, process_index=0, process_count=2)
     b1 = Batches(ds, 4, shuffle=False, process_index=1, process_count=2)
     ids0 = np.concatenate([t[3] for t in b0])
     ids1 = np.concatenate([t[3] for t in b1])
-    assert len(set(ids0) & set(ids1)) == 0
-    assert len(ids0) + len(ids1) == 13
+    assert len(ids0) == len(ids1) == 7
+    assert set(ids0) | set(ids1) == set(ds.image_ids.tolist())
+    assert len(set(ids0) & set(ids1)) == 1  # exactly the one wrap pad
 
 
 def test_batches_repeat_to_fill():
@@ -179,3 +182,42 @@ def test_pickle_roundtrip_real_loader_path(tmp_path):
     f = bundle.train.node_flags
     assert np.abs(bundle.train.nodes[f]).max() <= 1.0 + 1e-6
     assert np.abs(bundle.train.adjs[f[:, :, None] & f[:, None, :]]).max() <= 1.0 + 1e-6
+
+
+def test_batches_equal_shards_across_processes():
+    """Wrap-padding gives every process the SAME number of batches even when
+    the dataset doesn't divide (unequal counts would desync the hosts'
+    collective train steps)."""
+    from diffusesg_tpu.data.loader import Batches
+    from diffusesg_tpu.data.synthetic import synthetic_scene_graphs
+    from diffusesg_tpu.data.dataset import build_tensors
+
+    data = build_tensors(synthetic_scene_graphs(65, 8, 10, 5, seed=0),
+                         max_node_num=8, num_node_attr_type=10,
+                         num_edge_attr_type=5, node_encoding="ddpm",
+                         edge_encoding="ddpm")
+    counts = []
+    for pid in range(2):
+        b = Batches(data, 32, shuffle=True, seed=1,
+                    process_index=pid, process_count=2)
+        batches = list(b)
+        counts.append(len(batches))
+        assert sum(len(x[0]) for x in batches) == 33  # ceil(65/2)
+    assert counts[0] == counts[1]
+
+
+def test_shard_for_process_equal_lengths():
+    from diffusesg_tpu.data.loader import shard_for_process
+    from diffusesg_tpu.data.synthetic import synthetic_scene_graphs
+    from diffusesg_tpu.data.dataset import build_tensors
+
+    data = build_tensors(synthetic_scene_graphs(13, 8, 10, 5, seed=0),
+                         max_node_num=8, num_node_attr_type=10,
+                         num_edge_attr_type=5, node_encoding="ddpm",
+                         edge_encoding="ddpm")
+    shards = [shard_for_process(data, p, 4) for p in range(4)]
+    assert all(len(s) == 4 for s in shards)  # ceil(13/4), wrap-padded
+    # the pads are WRAPS of the shard's own rows (appended at the end)
+    got = np.concatenate([s.image_ids[: (13 // 4 + (1 if p < 13 % 4 else 0))]
+                          for p, s in enumerate(shards)])
+    assert sorted(got.tolist()) == sorted(data.image_ids.tolist())

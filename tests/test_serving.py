@@ -351,3 +351,22 @@ def test_complete_unavailable_in_artifact_mode():
     finally:
         httpd.shutdown()
         b.close()
+
+
+def test_complete_validates_label_bounds():
+    from diffusesg_tpu.serving.server import BatchingSampler
+    b = BatchingSampler(_fake_fn, batch_size=4, max_node_num=5, linger_ms=1.0,
+                        complete_fn=_fake_complete_fn,
+                        num_node_types=10, num_edge_types=5)
+    try:
+        with pytest.raises(ValueError, match="node type"):
+            b.complete(3, known_nodes=[{"index": 0, "type": 10}])
+        with pytest.raises(ValueError, match="predicate"):
+            b.complete(3, known_edges=[[0, 1, 5]])
+        with pytest.raises(ValueError, match="node type"):
+            b.complete(3, known_nodes=[{"index": 0, "type": -1}])
+        # p == 0 pins "no edge" and is allowed
+        g = b.complete(3, known_edges=[[0, 1, 0]], seed=1)
+        assert [0, 1, 0] not in g["edges"]  # no-edge stays absent
+    finally:
+        b.close()
