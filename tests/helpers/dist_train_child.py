@@ -41,6 +41,9 @@ def main():
     # + the orchestrator's post-gather trim
     raw["test"]["eval_size"] = 7
     raw["mcmc"]["num_steps"] = 4
+    # DSG_TEST_SPMD=shard_map covers the explicit per-shard path across
+    # REAL processes (the Pallas multi-chip mode, parallel/shardmap_dp.py)
+    raw["tpu"]["spmd_mode"] = os.environ.get("DSG_TEST_SPMD", "gspmd")
     cfg_path = os.path.join(exp_dir, f"cfg_{os.environ['DSG_PROCESS_ID']}.yaml")
     os.makedirs(exp_dir, exist_ok=True)
     with open(cfg_path, "w") as f:

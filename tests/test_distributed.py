@@ -76,11 +76,13 @@ def test_detect_rendezvous_env_variants(monkeypatch):
     assert rdv["num_processes"] == 2 and rdv["process_id"] == 1
 
 
-def test_two_process_training_e2e(tmp_path):
+@pytest.mark.parametrize("spmd_mode", ["gspmd", "shard_map"])
+def test_two_process_training_e2e(tmp_path, spmd_mode):
     """Full multi-host training smoke (VERDICT r1 item 2 extended): two real
     processes run the train CLI over a global 4-device mesh — covers the
     replicated-rng contract, the non-addressable per-sample-metric fetch
-    (trainer._fetch_metrics), and rank-0-gated checkpointing for real."""
+    (trainer._fetch_metrics), collective checkpointing, and (shard_map
+    variant) the explicit per-shard path across REAL processes."""
     import glob
 
     port = _free_port()
@@ -94,7 +96,8 @@ def test_two_process_training_e2e(tmp_path):
                    DSG_COORDINATOR=f"127.0.0.1:{port}",
                    DSG_NUM_PROCESSES="2",
                    DSG_PROCESS_ID=str(pid),
-                   DSG_TEST_EXP_DIR=exp_dir)
+                   DSG_TEST_EXP_DIR=exp_dir,
+                   DSG_TEST_SPMD=spmd_mode)
         procs.append(subprocess.Popen(
             [sys.executable, child], env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
