@@ -64,8 +64,8 @@ def mask_adjs(adjs: jax.Array, node_flags: jax.Array, value: float = 0.0,
     elif adjs.ndim != mask.ndim:
         raise ValueError(f"adjs shape {adjs.shape} incompatible with flags {node_flags.shape}")
 
-    if value == 0.0:
-        return adjs * mask.astype(adjs.dtype)
+    # where, not multiply: the reference's masked_fill_ zeroes even NaN/Inf
+    # padded entries (0 * NaN = NaN would poison whole-tensor reductions)
     return jnp.where(mask, adjs, jnp.asarray(value, adjs.dtype))
 
 
@@ -99,8 +99,7 @@ def mask_nodes(nodes: jax.Array, node_flags: jax.Array, value: float = 0.0,
         shape[along_dim] = flags.shape[1]
         mask = flags.reshape(shape)
 
-    if value == 0.0:
-        return nodes * mask.astype(nodes.dtype)
+    # where, not multiply: see mask_adjs (NaN/Inf in padded entries)
     return jnp.where(mask, nodes, jnp.asarray(value, nodes.dtype))
 
 

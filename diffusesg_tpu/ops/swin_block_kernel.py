@@ -33,10 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 INTERPRET = False  # tests flip this to run the Pallas kernel on CPU (interpret)
 
 
-def _layer_norm(x, gamma, beta, eps=1e-6):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+from .mlp_block_kernel import _layer_norm  # one canonical LN for all kernels
 
 
 def swin_attn_block_xla(x, scale_shift, ln_gamma, ln_beta, wqkv, bqkv,

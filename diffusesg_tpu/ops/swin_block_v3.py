@@ -75,6 +75,14 @@ def _plan_v3(b, h, w, c, window, num_heads, mlp_hidden):
         relp = n_grp * (P * L) * (G * P * L) * 4
         scores = (P * L) * (G * P * L) * 8  # fp32 scores + exp
         hmask = (G * P * L) * (G * c // num_heads) * 2
+        # KNOWN omission: the shifted-window mask block
+        # (rp*n_win/P, P*L, G*P*L) fp32 is NOT counted.  Counting it would
+        # shrink the chip-validated COCO stage-0 plan (rp 4 -> 2) that
+        # measurably fits and is fast: the act*44 coefficient is
+        # deliberately conservative and absorbs it for every shipped
+        # geometry (14M cap vs 16M real VMEM).  Revisit if a new geometry
+        # with rp*n_win/P * (P*L) * (G*P*L) * 4 > ~4MB trips a Mosaic
+        # VMEM error on a shifted block.
         return weights + act + hid + relp + scores + hmask
 
     LIMIT = 14 * 1024 * 1024
@@ -789,9 +797,12 @@ def _attn_bwd_call(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj,
                             g * P * L + p * L: g * P * L + (p + 1) * L]
                       for p in range(P))
             drel = drel.at[gg * G + g].set(acc.astype(rel_bias.dtype))
+    # cotangent dtypes must match the primals (weights/biases may arrive
+    # bf16 under a full-bf16 param policy; custom_vjp checks output avals)
     return (dx, dss3.reshape(b, 2 * c).astype(scale_shift.dtype),
-            dg1[0], db1[0], dwq.astype(wqkv.dtype), dbq[0],
-            dwp.astype(wproj.dtype), dbp[0], drel)
+            dg1[0].astype(ln1_g.dtype), db1[0].astype(ln1_b.dtype),
+            dwq.astype(wqkv.dtype), dbq[0].astype(bqkv.dtype),
+            dwp.astype(wproj.dtype), dbp[0], drel)  # dbp cast in _bwd (bproj not in scope here)
 
 
 def _fwd(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj, rel_bias,
@@ -865,6 +876,7 @@ def _bwd(num_heads, window, residuals, g):
             dy.astype(y_p.dtype))
     else:
         dx, dss, dg1, db1, dwq, dbq, dwp, dbp, drel = ares
+        dbp = dbp.astype(bproj.dtype)
     dmask = None if mask is None else jnp.zeros_like(mask)
     return (dx, dss, dg1, db1, dwq, dbq, dwp, dbp, drel, dmask, dg2, db2,
             dw1, dbb1, dw2, dbb2)

@@ -79,7 +79,10 @@ def _fused_attention(q, k, v, rel_bias, mask, scale):
 
 def _fused_attention_fwd_impl(q, k, v, rel_bias, mask, scale):
     nwb, nh, L, hd = q.shape
-    nw = mask.shape[0] if mask is not None else 1
+    # tb must divide nW only for the mask block indexing (i % nper); with no
+    # mask the tile is constrained by nWB alone — nw=1 here would force
+    # tb=1, i.e. one window per program, 8x the dispatch overhead
+    nw = mask.shape[0] if mask is not None else nwb
     tb = _pick_tile(nwb, nw)
     grid = (nwb // tb, nh)
     interpret = jax.default_backend() != "tpu"

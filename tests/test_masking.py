@@ -139,3 +139,23 @@ def test_adj_mask_2d():
     m = np.asarray(adj_mask_2d(flags))
     f = np.asarray(flags)
     np.testing.assert_array_equal(m, f[:, :, None] & f[:, None, :])
+
+
+def test_masking_zeroes_nan_inf_in_padded_entries():
+    """masked_fill_ semantics (reference graph_utils.py:5-38): NaN/Inf in
+    INVALID entries must come out as the fill value, not 0*NaN=NaN."""
+    import jax.numpy as jnp
+    from diffusesg_tpu.ops.masking import mask_adjs, mask_nodes
+
+    flags = np.array([[True, True, False]])
+    adjs = np.ones((1, 3, 3), np.float32)
+    adjs[0, 2, 0] = np.nan
+    adjs[0, 0, 2] = np.inf
+    out = np.asarray(mask_adjs(jnp.asarray(adjs), jnp.asarray(flags)))
+    assert np.isfinite(out).all()
+    assert out[0, 2, 0] == 0.0 and out[0, 0, 2] == 0.0
+
+    nodes = np.ones((1, 3, 2), np.float32)
+    nodes[0, 2, :] = np.nan
+    outn = np.asarray(mask_nodes(jnp.asarray(nodes), jnp.asarray(flags)))
+    assert np.isfinite(outn).all() and (outn[0, 2] == 0.0).all()
