@@ -3,6 +3,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from diffusesg_tpu.config import load_config
 from diffusesg_tpu.eval.sg_statistics import compute_sg_statistics
@@ -94,3 +95,72 @@ def test_sg_statistics_vs_reference_counts(tmp_path):
     assert dict(got_n) == node_d
     assert dict(got_e) == edge_d
     assert dict(got_t) == trip_d
+
+
+def test_sg_statistics_vs_reference_function(tmp_path, caplog):
+    """Run the ACTUAL reference compute_sg_statistics (sg_utils.py:9-345,
+    imported from /root/reference) on identical inputs and compare its
+    logged summary numbers against our report's summary dict."""
+    import logging
+    import re
+    import sys
+
+    REF = "/root/reference/DiffuseSG"
+    if not os.path.isdir(REF):
+        pytest.skip("reference not mounted")
+    import matplotlib
+    matplotlib.use("Agg")
+
+    rs = np.random.RandomState(7)
+    b, n = 8, 9
+    flags = np.zeros((b, n), bool)
+    for i in range(b):
+        flags[i, :rs.randint(2, n + 1)] = True
+    adjs = rs.randint(0, 5, (b, n, n)) * (flags[:, :, None] & flags[:, None, :])
+    for g in range(b):
+        np.fill_diagonal(adjs[g], 0)
+    nodes = rs.randint(0, 150, (b, n)) * flags
+    idx_to_word = {"ind_to_classes": [f"c{i}" for i in range(150)],
+                   "ind_to_predicates": [f"p{i}" for i in range(51)]}
+    pkl_data = []
+    for g in range(b):
+        k = int(flags[g].sum())
+        pkl_data.append({"node_labels": nodes[g, :k].astype(np.int64),
+                         "edge_map": adjs[g, :k, :k].astype(np.int64)})
+
+    (tmp_path / "ref").mkdir()  # the reference assumes the dir exists
+    sys.path.insert(0, REF)
+    try:
+        from utils.sg_utils import compute_sg_statistics as ref_stats
+        with caplog.at_level(logging.INFO):
+            ref_stats({"samples_x": nodes, "samples_a": adjs,
+                       "samples_node_flags": flags},
+                      pkl_data, idx_to_word, str(tmp_path / "ref"))
+    finally:
+        sys.path.remove(REF)
+
+    logged = {}
+    for rec in caplog.records:
+        m = re.match(r"(.+?)\s+- Generated: ([-\d.]+) \t GT: ([-\d.]+)",
+                     rec.getMessage())
+        if m:
+            logged[m.group(1).strip()] = (float(m.group(2)), float(m.group(3)))
+
+    from diffusesg_tpu.eval.sg_statistics import compute_sg_statistics
+    summary = compute_sg_statistics(
+        {"samples_x": nodes, "samples_a": adjs, "samples_node_flags": flags,
+         "gt_x": nodes, "gt_a": adjs, "gt_node_flags": flags},
+        pkl_data, idx_to_word, str(tmp_path / "ours"))
+
+    gen = summary["gen"]
+    assert logged["Node Number Mean"][0] == pytest.approx(gen["avg_nodes"], abs=5.1e-3)
+    assert logged["Node Number Std."][0] == pytest.approx(gen["std_nodes"], abs=5.1e-3)
+    assert logged["Edge Number Mean"][0] == pytest.approx(gen["avg_edges"], abs=5.1e-3)
+    assert logged["Edge Number Std."][0] == pytest.approx(gen["std_edges"], abs=5.1e-3)
+    assert logged["#Unique Nodes"][0] == gen["distinct_node_types"]
+    assert logged["#Unique Edges"][0] == gen["distinct_edge_types"]
+    assert logged["#Unique Triplet"][0] == gen["distinct_triplets"]
+    # GT side vs the pickle records
+    gt = summary["gt"]
+    assert logged["Node Number Mean"][1] == pytest.approx(gt["avg_nodes"], abs=5.1e-3)
+    assert logged["#Unique Triplet"][1] == gt["distinct_triplets"]
