@@ -17,6 +17,8 @@ def build_train_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="diffusesg_tpu training")
     p.add_argument("-c", "--config_file", required=True)
     p.add_argument("-m", "--comment", default="")
+    p.add_argument("-l", "--log_level", default="INFO",
+                   help="root logging level (reference: arg_parser.py:22)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--dataset_name", default=None)
     p.add_argument("--max_node_num", type=int, default=None)
@@ -36,6 +38,19 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--iou_loss_type", default=None)
     p.add_argument("--iou_loss_weight", type=float, default=None)
     p.add_argument("--resume", default=None)
+    # backbone overrides (reference: arg_parser.py:233-246; a scalar replaces
+    # an int key or a single-element list key)
+    p.add_argument("--feature_dims", type=int, default=None)
+    p.add_argument("--window_size", type=int, default=None)
+    p.add_argument("--patch_size", type=int, default=None)
+    # accepted for reference-script compatibility; parallelism is automatic
+    # SPMD over jax.devices() here, so these are no-ops (reference flags:
+    # arg_parser.py:31-41)
+    p.add_argument("--dp", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--ddp", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--ddp_gpu_ids", nargs="+", default=None,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--ddp_init_method", default=None, help=argparse.SUPPRESS)
     p.add_argument("--data_root", default=".")
     p.add_argument("-o", "--override", action="append", default=[],
                    metavar="KEY=VALUE", help="arbitrary config override")
@@ -48,16 +63,27 @@ def build_eval_parser() -> argparse.ArgumentParser:
                    help="checkpoint directory or run dir containing models_ckpt/")
     p.add_argument("-c", "--config_file", default=None,
                    help="defaults to config.yaml next to the checkpoints")
+    p.add_argument("-m", "--comment", default="",
+                   help="run-dir name suffix (reference: arg_parser.py:23)")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--eval_size", type=int, default=None)
     p.add_argument("--num_steps", type=int, default=None)
+    p.add_argument("-l", "--log_level", default="INFO",
+                   help="root logging level (reference: arg_parser.py:22)")
     p.add_argument("--min_epoch", type=int, default=None)
     p.add_argument("--max_epoch", type=int, default=None)
-    p.add_argument("--specify_epoch", type=int, default=None)
+    p.add_argument("--specify_epoch", type=int, nargs="+", default=None,
+                   help="evaluate exactly these epochs "
+                        "(reference: arg_parser.py:158-165)")
     p.add_argument("--num_ckpts", type=int, default=None)
+    p.add_argument("--search_weights", action="store_true",
+                   help="accepted for reference-script compatibility; "
+                        "directory checkpoint discovery is automatic here")
     p.add_argument("--ema_weights", nargs="*", default=None,
                    help="EMA beta values to evaluate (default: all)")
-    p.add_argument("--use_ema", default="all")
+    p.add_argument("--use_ema", nargs="*", default="all",
+                   help="'all', 'none', or beta values; 1.0 means the raw "
+                        "online weights (reference: eval.py:15-40)")
     p.add_argument("--sanity_check", action="store_true")
     p.add_argument("--random_node_num", action="store_true")
     p.add_argument("--test_pkl", default=None,
@@ -69,10 +95,14 @@ def build_eval_parser() -> argparse.ArgumentParser:
     return p
 
 
-_OVERRIDE_KEYS = ["seed", "max_node_num", "batch_size", "eval_size", "lr_init",
+_OVERRIDE_KEYS = ["seed", "max_node_num", "eval_size", "lr_init",
                   "max_epoch", "sample_interval", "save_interval", "subset",
                   "num_steps", "node_encoding", "edge_encoding", "self_cond",
                   "iou_loss_type", "iou_loss_weight", "resume"]
+
+# backbone keys a scalar CLI flag may override; list-valued config entries
+# must be single-element, like the reference (arg_parser.py:233-246)
+_MODEL_OVERRIDE_KEYS = ["feature_dims", "window_size", "patch_size"]
 
 
 def config_from_args(args, mode: str = "train") -> ConfigDict:
@@ -81,12 +111,35 @@ def config_from_args(args, mode: str = "train") -> ConfigDict:
         val = getattr(args, key, None)
         if val is not None:
             overrides[key] = val
+    # batch_size lives under both train: and test:; the reference applies a
+    # train-mode flag to both sections, eval-mode to test only
+    # (arg_parser.py:216-224, 248-268)
+    if getattr(args, "batch_size", None) is not None:
+        overrides["test.batch_size"] = args.batch_size
+        if mode == "train":
+            overrides["train.batch_size"] = args.batch_size
     if getattr(args, "dataset_name", None):
         overrides["dataset.name"] = args.dataset_name
     for item in getattr(args, "override", []):
         k, v = item.split("=", 1)
         overrides[k] = v
     cfg = load_config(args.config_file, overrides=overrides)
+    for key in _MODEL_OVERRIDE_KEYS:
+        val = getattr(args, key, None)
+        if val is None:
+            continue
+        old = cfg.model[key]
+        if isinstance(old, list):
+            assert len(old) == 1, (
+                f"--{key} can only replace a single-element list, got {old}")
+            val = [val]
+        cfg.model[key] = val
+        import logging
+        logging.info("config override: model.%s: %r -> %r", key, old, val)
+    if getattr(args, "dp", False) or getattr(args, "ddp", False):
+        import logging
+        logging.info("--dp/--ddp accepted but ignored: data parallelism is "
+                     "automatic SPMD over jax.devices()")
     if getattr(args, "node_only", False):
         cfg.train.node_only = True
     if getattr(args, "binary_edge", False):

@@ -13,6 +13,37 @@ import jax
 import numpy as np
 
 
+def select_ema_indices(betas, use_ema, ema_weights=None) -> list[int]:
+    """Map --use_ema / --ema_weights to EMA-stack indices.
+
+    Index -1 selects the raw online weights (the reference's 'model' key /
+    beta "1.0").  Semantics mirror the reference's get_ema_weight_keywords
+    (reference: eval.py:15-40): 'all' evaluates raw + every EMA, 'none' raw
+    only, a value list selects exactly those betas with 1.0 meaning raw.
+    """
+    betas = np.asarray(betas)
+    if isinstance(use_ema, str):
+        use_ema = [use_ema]
+
+    def _beta_idx(w: float) -> int:
+        i = int(np.argmin(np.abs(betas - w)))
+        if not np.isclose(float(betas[i]), w):
+            raise ValueError(
+                f"EMA beta {w} not found in checkpoint betas {betas}")
+        return i
+
+    if ema_weights:
+        return [_beta_idx(float(w)) for w in ema_weights]
+    if not use_ema or use_ema == ["none"]:
+        return [-1]
+    if use_ema == ["all"]:
+        return [-1] + list(range(len(betas)))
+    wanted = [float(w) for w in use_ema]
+    idxs = [-1] if 1.0 in wanted else []
+    idxs += [_beta_idx(w) for w in wanted if w != 1.0]
+    return idxs
+
+
 def main(argv=None):
     # multi-host bootstrap FIRST: must precede any device use
     # (reference rendezvous analogue: dist_training.py:100-126)
@@ -26,7 +57,7 @@ def main(argv=None):
     from ..sampling import get_mc_sampler
     from ..sampling.orchestrator import sg_go_sampling
     from ..train.train_state import ema_slice
-    from ..utils import set_seed_and_logger, ScalarWriter
+    from ..utils import set_seed_and_logger, backup_code, ScalarWriter
     from ..utils.checkpoint import restore_checkpoint, select_checkpoints
     from ..parallel.mesh import is_main_process, sync_hosts
 
@@ -46,7 +77,9 @@ def main(argv=None):
     if getattr(args, "test_pkl", None):
         with config.unlocked():
             config.test.test_pkl = args.test_pkl
-    set_seed_and_logger(config, mode="eval")
+    set_seed_and_logger(config, mode="eval", comment=args.comment,
+                        log_level=args.log_level)
+    backup_code(config.logdir)  # reference backs up code on eval too (eval.py:86)
 
     bundle = load_data(config, eval_mode=True, data_root=args.data_root)
     model = build_model(config)
@@ -67,15 +100,7 @@ def main(argv=None):
     for ckpt_path in ckpts:
         payload = restore_checkpoint(ckpt_path)
         betas = np.asarray(payload["ema_betas"])
-        # EMA weight selection (reference: eval.py:15-40)
-        if args.ema_weights:
-            wanted = [float(w) for w in args.ema_weights]
-            idxs = [int(np.argmin(np.abs(betas - w))) for w in wanted]
-        elif args.use_ema == "none":
-            idxs = [-1]  # raw weights
-        else:
-            idxs = list(range(len(betas)))
-
+        idxs = select_ema_indices(betas, args.use_ema, args.ema_weights)
         for idx in idxs:
             if idx == -1:
                 params = payload["params"]

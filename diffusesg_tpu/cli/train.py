@@ -34,7 +34,8 @@ def main(argv=None):
 
     args = build_train_parser().parse_args(argv)
     config = config_from_args(args, "train")
-    set_seed_and_logger(config, mode="train", comment=args.comment)
+    set_seed_and_logger(config, mode="train", comment=args.comment,
+                        log_level=args.log_level)
     backup_code(config.logdir)
 
     bundle = load_data(config, eval_mode=False, data_root=args.data_root)

@@ -85,6 +85,20 @@ def make_sample_fn(model, params, sampler: NodeAdjEDMSampler,
     return jax.jit(sample_fn, in_shardings=in_sh, out_shardings=out_sh)
 
 
+def resample_node_flags(flags: np.ndarray, num_nodes_pool,
+                        seed: int) -> np.ndarray:
+    """Resample per-slot node counts from the test set's empirical node-count
+    distribution (reference: sampler_node_adj.py:146-154).  Slots are filled
+    front-to-back, so every resampled mask stays non-empty like the
+    reference's assert."""
+    rs = np.random.RandomState(seed)
+    counts = rs.choice(num_nodes_pool, size=len(flags))
+    sample_flags = np.zeros_like(flags)
+    for i, c in enumerate(counts):
+        sample_flags[i, :c] = True
+    return sample_flags
+
+
 def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
                    epoch: int = 0, eval_mode: bool = False, sanity_check: bool = False,
                    sampling_params: dict | None = None, writer=None,
@@ -212,13 +226,8 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
                 adjs_gt, nodes_gt, flags_j, enc_cfg)
 
         if random_node_num and num_nodes_pool is not None and flags.ndim == 2:
-            # resample node counts from the empirical distribution
-            # (reference: sampler_node_adj.py:146-154)
-            rs = np.random.RandomState(config.seed + epoch + bi)
-            counts = rs.choice(num_nodes_pool, size=len(flags))
-            sample_flags = np.zeros_like(flags)
-            for i, c in enumerate(counts):
-                sample_flags[i, :c] = True
+            sample_flags = resample_node_flags(flags, num_nodes_pool,
+                                               config.seed + epoch + bi)
         else:
             sample_flags = flags
         sample_flags_j = _put(sample_flags)

@@ -129,16 +129,18 @@ def list_checkpoints(ckpt_dir: str) -> list[str]:
 
 def select_checkpoints(ckpt_dir: str, min_epoch: int | None = None,
                        max_epoch: int | None = None,
-                       specify_epoch: int | None = None,
+                       specify_epoch: int | list[int] | None = None,
                        num_ckpts: int | None = None) -> list[str]:
     """Epoch-range / explicit-epoch / count-limited checkpoint selection
-    (reference: arg_parser.py:144-184)."""
+    (reference: arg_parser.py:144-184; --specify_epoch takes several epochs)."""
     ckpts = list_checkpoints(ckpt_dir)
     def _epoch(p):
         base = os.path.basename(p)
         return int(base) if base.isdigit() else -1
     if specify_epoch is not None:
-        return [p for p in ckpts if _epoch(p) == specify_epoch]
+        wanted = ([specify_epoch] if isinstance(specify_epoch, int)
+                  else list(specify_epoch))
+        return [p for p in ckpts if _epoch(p) in wanted]
     if min_epoch is not None:
         ckpts = [p for p in ckpts if _epoch(p) >= min_epoch]
     if max_epoch is not None:

@@ -19,7 +19,8 @@ import time
 import numpy as np
 
 
-def set_seed_and_logger(config, mode: str = "train", comment: str = "") -> str:
+def set_seed_and_logger(config, mode: str = "train", comment: str = "",
+                        log_level: str = "INFO") -> str:
     """Seed host RNGs per process, create the logdir, attach log handlers.
 
     Per-process seed offset mirrors the reference's per-rank offset
@@ -45,7 +46,8 @@ def set_seed_and_logger(config, mode: str = "train", comment: str = "") -> str:
     handlers = [logging.FileHandler(log_file)]
     if jax.process_index() == 0:
         handlers.append(logging.StreamHandler(sys.stdout))
-    logging.basicConfig(level=logging.INFO, handlers=handlers, force=True,
+    level = getattr(logging, str(log_level).upper(), logging.INFO)
+    logging.basicConfig(level=level, handlers=handlers, force=True,
                         format="%(asctime)s %(levelname)s %(message)s")
 
     from ..config import save_config

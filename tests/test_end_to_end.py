@@ -144,6 +144,19 @@ def test_eval_samples_cli(trained, tmp_path):
     save_config(cfg, cfg_path)
     out_path = str(tmp_path / "metrics.json")
     metrics = eval_samples.main(["--npz", npzs[0], "-c", cfg_path,
-                                 "--data_root", "/nonexistent", "--out", out_path])
+                                 "--data_root", "/nonexistent", "--out", out_path,
+                                 "--train_set"])
     assert os.path.isfile(out_path)
     assert "node_type_mmd_gaussian" in metrics
+    # --train_set scores the full training set's layouts as a BLT reference
+    # (reference: eval_sg_samples.py:45-48)
+    assert np.isfinite(metrics["full_gt_iou_percp_blt"])
+    # the helper-plots directory next to the npz (reference: :263-265),
+    # with the perceptual-IoU histogram, retrieval panels per F1 weighting,
+    # and the eval_metrics.txt summary (:50-66, :345-360, :366-392)
+    plot_dir = os.path.join(os.path.dirname(npzs[0]), "eval_sg_helper_plots")
+    files = os.listdir(plot_dir)
+    assert "blt_perceptual_iou_hist.png" in files
+    assert "eval_metrics.txt" in files
+    for name in ["vanilla", "area", "freq", "no_node_type"]:
+        assert any(f.startswith(f"bbox_{name}_") for f in files), (name, files)
