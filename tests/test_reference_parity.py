@@ -63,110 +63,10 @@ def ref_module():
     sys.path.remove(REF)
 
 
-def _t2j(t):
-    return np.asarray(t.detach().cpu().numpy())
-
-
-def _dense(sd, prefix):
-    return {"kernel": _t2j(sd[f"{prefix}.weight"]).T, "bias": _t2j(sd[f"{prefix}.bias"])}
-
-
-def _dense_nobias(sd, prefix):
-    return {"kernel": _t2j(sd[f"{prefix}.weight"]).T}
-
-
-def _ln(sd, prefix):
-    return {"scale": _t2j(sd[f"{prefix}.weight"]), "bias": _t2j(sd[f"{prefix}.bias"])}
-
-
-def _mlp(sd, prefix):
-    return {"fc1_kernel": _t2j(sd[f"{prefix}.fc1.weight"]).T,
-            "fc1_bias": _t2j(sd[f"{prefix}.fc1.bias"]),
-            "fc2_kernel": _t2j(sd[f"{prefix}.fc2.weight"]).T,
-            "fc2_bias": _t2j(sd[f"{prefix}.fc2.bias"])}
-
-
-def _swin_block(sd, prefix):
-    return {
-        "Dense_0": _dense(sd, f"{prefix}.affine"),
-        "norm1_scale": _t2j(sd[f"{prefix}.norm1.weight"]),
-        "norm1_bias": _t2j(sd[f"{prefix}.norm1.bias"]),
-        "relative_position_bias_table": _t2j(sd[f"{prefix}.attn.relative_position_bias_table"]),
-        "qkv_kernel": _t2j(sd[f"{prefix}.attn.qkv.weight"]).T,
-        "qkv_bias": _t2j(sd[f"{prefix}.attn.qkv.bias"]),
-        "proj_kernel": _t2j(sd[f"{prefix}.attn.proj.weight"]).T,
-        "proj_bias": _t2j(sd[f"{prefix}.attn.proj.bias"]),
-        "norm2_scale": _t2j(sd[f"{prefix}.norm2.weight"]),
-        "norm2_bias": _t2j(sd[f"{prefix}.norm2.bias"]),
-        "mlp_fc1_kernel": _t2j(sd[f"{prefix}.mlp.fc1.weight"]).T,
-        "mlp_fc1_bias": _t2j(sd[f"{prefix}.mlp.fc1.bias"]),
-        "mlp_fc2_kernel": _t2j(sd[f"{prefix}.mlp.fc2.weight"]).T,
-        "mlp_fc2_bias": _t2j(sd[f"{prefix}.mlp.fc2.bias"]),
-    }
-
-
-def _basic_layer(sd, prefix, depth, has_down, has_up):
-    out = {}
-    if has_up:
-        out["PatchBreakup_0"] = {
-            "pre_kernel": _t2j(sd[f"{prefix}.upsample.pre_linear.weight"]).T,
-            "norm1_scale": _t2j(sd[f"{prefix}.upsample.norm.weight"]),
-            "norm1_bias": _t2j(sd[f"{prefix}.upsample.norm.bias"]),
-            "norm2_scale": _t2j(sd[f"{prefix}.upsample.post_norm.weight"]),
-            "norm2_bias": _t2j(sd[f"{prefix}.upsample.post_norm.bias"]),
-            "post_kernel": _t2j(sd[f"{prefix}.upsample.post_linear.weight"]).T,
-        }
-    for i in range(depth):
-        out[f"SwinBlock_{i}"] = _swin_block(sd, f"{prefix}.blocks.{i}")
-    if has_down:
-        out["PatchMerging_0"] = {
-            "norm_scale": _t2j(sd[f"{prefix}.downsample.norm.weight"]),
-            "norm_bias": _t2j(sd[f"{prefix}.downsample.norm.bias"]),
-            "reduction_kernel": _t2j(sd[f"{prefix}.downsample.reduction.weight"]).T,
-        }
-    return out
-
-
-def _transfer(sd, depths, patch_size):
-    """torch state_dict -> flax params tree for DiffuseSG."""
-    p = patch_size
-    # patch_embed.proj: Conv2d [D, Cin, p, p] -> Dense [(p p Cin), D] in
-    # feature order (kh, kw, cin) matching the space-to-depth flatten
-    w = _t2j(sd["patch_embed.proj.weight"])  # [D, Cin, p, p]
-    kernel = w.transpose(2, 3, 1, 0).reshape(-1, w.shape[0])
-    params = {
-        "patch_embed": {
-            "Dense_0": {"kernel": kernel, "bias": _t2j(sd["patch_embed.proj.bias"])},
-            "LayerNorm_0": _ln(sd, "patch_embed.norm"),
-            "NoiseAffine_0": {"Dense_0": _dense(sd, "patch_embed.affine")},
-        },
-        "map_layer0": _dense(sd, "map_layer0"),
-        "map_layer1": _dense(sd, "map_layer1"),
-        "final_norm": _ln(sd, "norm"),
-        "readout_adj_mlp": _mlp(sd, "readout_adj_mlp"),
-        "readout_node_mlp": _mlp(sd, "readout_node_mlp"),
-    }
-    # read_out: ConvTranspose2d [Cin, Cout, p, p] -> Dense [Cin, (p p Cout)];
-    # output feature order must be (kh, kw, cout) to match depth-to-space
-    wt = _t2j(sd["read_out.0.weight"])  # [Cin, Cout, p, p]
-    k0 = wt.transpose(0, 2, 3, 1).reshape(wt.shape[0], -1)
-    b0 = np.tile(_t2j(sd["read_out.0.bias"]), p * p) if p > 1 else _t2j(sd["read_out.0.bias"])
-    w1 = _t2j(sd["read_out.1.weight"])[:, :, 0, 0]
-    w2 = _t2j(sd["read_out.2.weight"])[:, :, 0, 0]
-    params["read_out"] = {
-        "Dense_0": {"kernel": k0, "bias": b0},
-        "Dense_1": {"kernel": w1.T, "bias": _t2j(sd["read_out.1.bias"])},
-        "Dense_2": {"kernel": w2.T, "bias": _t2j(sd["read_out.2.bias"])},
-    }
-    L = len(depths)
-    for i in range(L):
-        params[f"down_layers_{i}"] = _basic_layer(
-            sd, f"down_layers.{i}", depths[i], has_down=i < L - 1, has_up=False)
-    for i in range(L):
-        rest = L - i - 1
-        params[f"up_layers_{i}"] = _basic_layer(
-            sd, f"up_layers.{i}", depths[rest], has_down=False, has_up=i > 0)
-    return {"params": params}
+# The torch->flax weight mapping lives in the production import tool
+# (utils/torch_import.py, used by cli/import_ckpt.py); these parity tests
+# double as its fp32 cross-validation against the live reference model.
+from diffusesg_tpu.utils.torch_import import state_dict_to_flax as _transfer  # noqa: E402
 
 
 @pytest.mark.parametrize("self_condition", [False, True])
