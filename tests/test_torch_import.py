@@ -147,6 +147,31 @@ def test_import_reference_ckpt_e2e(ref_mod, small_cfg, tmp_path, module_prefix):
         assert csvs, "eval CLI on the imported run dir produced no results csv"
 
 
+def test_resume_training_from_imported_dir(ref_mod, small_cfg, tmp_path):
+    """--resume <imported_run_dir> continues training from the converted
+    weights (fresh optimizer, like the reference's weights-only resume)."""
+    import glob
+    from diffusesg_tpu.cli import import_ckpt
+    from diffusesg_tpu.cli import train as train_cli
+
+    _, pth = _make_reference_ckpt(ref_mod, small_cfg, tmp_path, False)
+    out_dir = str(tmp_path / "imported")
+    import_ckpt.main([pth, "-o", out_dir])
+
+    train_cli.main(["-c", os.path.join(out_dir, "config.yaml"),
+                    "--data_root", "/nonexistent", "--resume", out_dir,
+                    "--max_epoch", "9", "--batch_size", "8", "--subset", "8",
+                    "--save_interval", "1", "--sample_interval", "1000",
+                    "--override", "exp_dir=" + str(tmp_path / "resume_exp"),
+                    "--override", "mcmc.num_steps=4"])
+    # epoch numbering continues past the imported epoch 7
+    ckpts = glob.glob(str(tmp_path / "resume_exp" / "**" / "models_ckpt" / "*"),
+                      recursive=True)
+    epochs = sorted(int(os.path.basename(c)) for c in ckpts
+                    if os.path.basename(c).isdigit())
+    assert epochs and epochs[0] >= 8, epochs
+
+
 def test_import_rejects_mismatched_model(ref_mod, small_cfg, tmp_path):
     """A checkpoint whose weights don't match the config's model raises a
     clear error instead of writing a broken run dir."""
