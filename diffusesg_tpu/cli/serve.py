@@ -31,6 +31,10 @@ def build_serve_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8472)
     p.add_argument("--batch_size", type=int, default=None,
                    help="compiled serving batch (default: config test batch)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="local devices to serve on: 0 = auto (all local "
+                        "devices when the batch divides evenly), 1 = single "
+                        "chip, N = a fixed N-device data mesh")
     p.add_argument("--num_steps", type=int, default=None,
                    help="sampling steps (default: config.mcmc.num_steps)")
     p.add_argument("--ema", default=None,
@@ -46,13 +50,34 @@ def build_serve_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _resolve_mesh(ndev_flag: int, batch: int):
+    """--devices -> (mesh | None, ndev): 0 = auto (all local devices when the
+    batch divides evenly), 1 = single device, N = fixed N-device mesh."""
+    import jax
+    from ..parallel.mesh import make_mesh
+
+    local = len(jax.devices())
+    if ndev_flag == 0:
+        ndev = local if (local > 1 and batch % local == 0) else 1
+    else:
+        ndev = ndev_flag
+        if ndev > local:
+            raise SystemExit(f"--devices {ndev} but only {local} local devices")
+        if batch % ndev:
+            raise SystemExit(f"--batch_size {batch} must be divisible by "
+                             f"--devices {ndev}")
+    return (make_mesh(ndev) if ndev > 1 else None), ndev
+
+
 def _load_from_checkpoint(args):
     """(serve_fn, batch, max_n, config) from a checkpoint/run dir."""
     import jax
     from ..config import load_config
     from ..models import build_model
     from ..sampling import get_mc_sampler
-    from ..serving.export import make_serving_fn
+    from ..serving.export import (make_completion_fn, make_serving_fn,
+                                  make_sharded_completion_fn,
+                                  make_sharded_serving_fn)
     from ..train.train_state import ema_slice
     from ..utils.checkpoint import restore_checkpoint, select_checkpoints
     from .common import find_eval_config
@@ -87,16 +112,28 @@ def _load_from_checkpoint(args):
 
     model = build_model(config)
     sampler = get_mc_sampler(config)
-    serve_fn = jax.jit(make_serving_fn(model, params, sampler, config))
-    from ..serving.export import make_completion_fn
-    complete_fn = jax.jit(make_completion_fn(model, params, sampler, config))
-    batch = args.batch_size or config.test.batch_size or config.train.batch_size
+    batch = int(args.batch_size or config.test.batch_size
+                or config.train.batch_size)
+    mesh, ndev = _resolve_mesh(args.devices, batch)
+    spmd_mode = (config.tpu.get("spmd_mode", "gspmd")
+                 if "tpu" in config else "gspmd")
+    if mesh is not None:
+        logging.info("serving on a %d-device data mesh (spmd_mode=%s)",
+                     ndev, spmd_mode)
+        serve_fn = make_sharded_serving_fn(model, params, sampler, config,
+                                           mesh, spmd_mode)
+        complete_fn = make_sharded_completion_fn(model, params, sampler,
+                                                 config, mesh, spmd_mode)
+    else:
+        serve_fn = jax.jit(make_serving_fn(model, params, sampler, config))
+        complete_fn = jax.jit(make_completion_fn(model, params, sampler, config))
     from ..models.channels import resolve_sampling_channels
     info = resolve_sampling_channels(config)
     bounds = (int(info["raw_num_node_type"]),
               int(info["raw_num_adj_type"] if not info["flag_binary_edge"] else 2))
-    return (serve_fn, complete_fn, int(batch),
-            int(config.dataset.max_node_num), config, bounds)
+    return (serve_fn, complete_fn, batch,
+            int(config.dataset.max_node_num), config, bounds,
+            (model, params, sampler, mesh, spmd_mode))
 
 
 def main(argv=None):
@@ -118,20 +155,18 @@ def main(argv=None):
     else:
         if not args.model_path:
             raise SystemExit("need -p/--model_path or --from_artifact")
-        fn, complete_fn, batch, max_n, config, bounds = _load_from_checkpoint(args)
-        if args.batch_size:
-            batch = args.batch_size
+        (fn, complete_fn, batch, max_n, config, bounds,
+         (model, params, sampler, mesh, spmd_mode)) = _load_from_checkpoint(args)
 
     if args.export_to:
         if config is None:
             raise SystemExit("--export_to needs a checkpoint, not an artifact")
-        import jax
-        from ..serving.export import save_artifact
-        exported = jax.export.export(fn)(
-            jax.ShapeDtypeStruct((), np.int32),
-            jax.ShapeDtypeStruct((batch, max_n), bool))
+        from ..serving.export import export_sampler, save_artifact
+        exported = export_sampler(model, params, sampler, config, batch,
+                                  mesh=mesh, spmd_mode=spmd_mode)
         save_artifact(args.export_to, exported, config, batch)
-        logging.info("exported sampler artifact to %s", args.export_to)
+        logging.info("exported sampler artifact to %s (%d device(s))",
+                     args.export_to, int(exported.nr_devices))
         return
 
     if args.data_root is not None and config is not None:

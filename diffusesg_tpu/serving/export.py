@@ -41,14 +41,9 @@ ARTIFACT_BIN = "sampler.bin"
 ARTIFACT_META = "meta.json"
 
 
-def make_serving_fn(model, params, sampler: NodeAdjEDMSampler, config):
-    """Build the jittable end-to-end (seed, node_flags) -> decoded-graphs fn.
-
-    Unlike the eval orchestrator's sample fn (orchestrator.make_sample_fn)
-    this takes a plain int32 seed (PRNG keys don't serialize portably),
-    fuses the decode into the same program, and returns only the integer
-    tensors a serving caller needs.
-    """
+def _serving_impl(model, sampler: NodeAdjEDMSampler, config):
+    """(params, rng, node_flags) -> decoded-graphs core shared by the
+    single-device, GSPMD, and shard_map serving variants."""
     info = resolve_sampling_channels(config)
     if info["flag_node_only"]:
         raise NotImplementedError(
@@ -63,9 +58,7 @@ def make_serving_fn(model, params, sampler: NodeAdjEDMSampler, config):
                       if not info["flag_binary_edge"] else 2),
         flag_bbox=True, flag_node_only=False)
 
-    def serve_fn(seed, node_flags):
-        rng = jax.random.PRNGKey(seed)
-
+    def impl(params, rng, node_flags):
         def denoiser(a, x, sigmas, sc_a, sc_x):
             def model_fn(aa, xx, flags, c_noise, s_a, s_x):
                 return model.apply(params, aa, xx, flags, c_noise, s_a, s_x)
@@ -78,7 +71,66 @@ def make_serving_fn(model, params, sampler: NodeAdjEDMSampler, config):
         dec = decode(adjs, nodes, node_flags)
         return dec.adj_types, dec.node_types, dec.bboxes
 
+    return impl
+
+
+def make_serving_fn(model, params, sampler: NodeAdjEDMSampler, config):
+    """Build the jittable end-to-end (seed, node_flags) -> decoded-graphs fn.
+
+    Unlike the eval orchestrator's sample fn (orchestrator.make_sample_fn)
+    this takes a plain int32 seed (PRNG keys don't serialize portably),
+    fuses the decode into the same program, and returns only the integer
+    tensors a serving caller needs.
+    """
+    impl = _serving_impl(model, sampler, config)
+
+    def serve_fn(seed, node_flags):
+        return impl(params, jax.random.PRNGKey(seed), node_flags)
+
     return serve_fn
+
+
+def make_sharded_serving_fn(model, params, sampler: NodeAdjEDMSampler, config,
+                            mesh, spmd_mode: str = "gspmd",
+                            axis_name: str = "data"):
+    """Multi-chip serving: the batch axis sharded over every device of
+    ``mesh``, params replicated — the serving face of the eval
+    orchestrator's sharded sampling (sampling/orchestrator.make_sample_fn
+    with mesh, itself the counterpart of the reference's DDP eval sharding,
+    sampler_node_adj.py:331-345).  Returns a jitted
+    (seed, node_flags[B,N]) -> (adj, node, bbox) with B % mesh.size == 0.
+
+    ``spmd_mode`` mirrors config.tpu.spmd_mode: "gspmd" (partitioner splits
+    the program; bit-identical to single-device) or "shard_map" (explicit
+    per-shard execution that carries the Pallas kernels to multi-chip; each
+    shard folds its axis index into the seed's key, so the stream differs
+    from the single-device program like the reference's per-rank torch RNGs,
+    dist_training.py:34-41).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import replicate_tree
+
+    impl = _serving_impl(model, sampler, config)
+    if spmd_mode == "shard_map":
+        def local_fn(p, seed, node_flags):
+            rng = jax.random.fold_in(jax.random.PRNGKey(seed),
+                                     jax.lax.axis_index(axis_name))
+            return impl(p, rng, node_flags)
+
+        b0 = P(axis_name)
+        sm = jax.shard_map(local_fn, mesh=mesh,
+                           in_specs=(P(), P(), b0), out_specs=(b0, b0, b0),
+                           check_vma=False)
+        jitted = jax.jit(sm)
+        params = replicate_tree(params, mesh)
+        return lambda seed, node_flags: jitted(params, seed, node_flags)
+
+    params = replicate_tree(params, mesh)
+    fn = make_serving_fn(model, params, sampler, config)
+    repl = NamedSharding(mesh, P())
+    b0 = NamedSharding(mesh, P(axis_name))
+    return jax.jit(fn, in_shardings=(repl, b0), out_shardings=(b0, b0, b0))
 
 
 def make_completion_fn(model, params, sampler: NodeAdjEDMSampler, config):
@@ -120,9 +172,8 @@ def make_completion_fn(model, params, sampler: NodeAdjEDMSampler, config):
         num_node_type=n_node_type, num_adj_type=n_edge_type,
         flag_bbox=True, flag_node_only=False)
 
-    def complete_fn(seed, node_flags, known_node, mask_node, known_bbox,
-                    mask_bbox, known_adj, mask_adj):
-        rng = jax.random.PRNGKey(seed)
+    def impl(params, rng, node_flags, known_node, mask_node, known_bbox,
+             mask_bbox, known_adj, mask_adj):
         x = attribute_converter(known_node.astype(jnp.float32), node_flags,
                                 "int", node_enc, n_node_type, flag_nodes=True,
                                 flag_in_ddpm_range=False,
@@ -153,14 +204,65 @@ def make_completion_fn(model, params, sampler: NodeAdjEDMSampler, config):
         dec = decode(adjs, nodes, node_flags)
         return dec.adj_types, dec.node_types, dec.bboxes
 
+    def complete_fn(seed, *args):
+        return impl(params, jax.random.PRNGKey(seed), *args)
+
+    complete_fn._impl = impl  # reused by make_sharded_completion_fn
     return complete_fn
 
 
+def make_sharded_completion_fn(model, params, sampler: NodeAdjEDMSampler,
+                               config, mesh, spmd_mode: str = "gspmd",
+                               axis_name: str = "data"):
+    """Multi-chip conditional completion: batch axis sharded like
+    make_sharded_serving_fn (same signature as make_completion_fn's
+    result; every tensor argument is batch-major)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import replicate_tree
+
+    impl = make_completion_fn(model, params, sampler, config)._impl
+    n_batch_args = 7  # node_flags + 3x (known, mask) pairs
+    if spmd_mode == "shard_map":
+        def local_fn(p, seed, *args):
+            rng = jax.random.fold_in(jax.random.PRNGKey(seed),
+                                     jax.lax.axis_index(axis_name))
+            return impl(p, rng, *args)
+
+        b0 = P(axis_name)
+        sm = jax.shard_map(local_fn, mesh=mesh,
+                           in_specs=(P(), P()) + (b0,) * n_batch_args,
+                           out_specs=(b0, b0, b0), check_vma=False)
+        jitted = jax.jit(sm)
+        params = replicate_tree(params, mesh)
+        return lambda seed, *args: jitted(params, seed, *args)
+
+    params = replicate_tree(params, mesh)
+    fn = make_completion_fn(model, params, sampler, config)
+    repl = NamedSharding(mesh, P())
+    b0 = NamedSharding(mesh, P(axis_name))
+    return jax.jit(fn, in_shardings=(repl,) + (b0,) * n_batch_args,
+                   out_shardings=(b0, b0, b0))
+
+
 def export_sampler(model, params, sampler: NodeAdjEDMSampler, config,
-                   batch_size: int):
-    """AOT-export the serving fn at a fixed batch size -> jax.export.Exported."""
+                   batch_size: int, mesh=None, spmd_mode: str = "gspmd"):
+    """AOT-export the serving fn at a fixed batch size -> jax.export.Exported.
+
+    With ``mesh`` (size > 1) the exported program is the SPMD batch-sharded
+    sampler (make_sharded_serving_fn): the artifact records the device count
+    and a serving process with that many local devices runs it sharded —
+    scale-out AOT serving for a full v5e-8 host from one artifact.
+    """
     n = config.dataset.max_node_num
-    serve_fn = make_serving_fn(model, params, sampler, config)
+    if mesh is not None and mesh.size > 1:
+        if batch_size % mesh.size:
+            raise ValueError(f"batch_size {batch_size} must divide over the "
+                             f"{mesh.size}-device mesh")
+        serve_fn = make_sharded_serving_fn(model, params, sampler, config,
+                                           mesh, spmd_mode)
+    else:
+        serve_fn = make_serving_fn(model, params, sampler, config)
     specs = (jax.ShapeDtypeStruct((), jnp.int32),
              jax.ShapeDtypeStruct((batch_size, n), jnp.bool_))
     return jax.export.export(jax.jit(serve_fn))(*specs)
@@ -174,6 +276,7 @@ def save_artifact(path: str, exported, config, batch_size: int) -> None:
     meta = {
         "format": "diffusesg_tpu.serving/1",
         "platforms": list(exported.platforms),
+        "num_devices": int(exported.nr_devices),
         "batch_size": batch_size,
         "max_node_num": int(config.dataset.max_node_num),
         "dataset": config.dataset.name,
@@ -192,7 +295,8 @@ def load_artifact(path: str):
 
     The callable has the exported signature (seed, node_flags) and runs
     under jit on the current backend; a platform mismatch (e.g. a
-    TPU-built artifact on CPU) raises with a clear message.
+    TPU-built artifact on CPU) or a device-count mismatch (an 8-chip SPMD
+    artifact in a 1-chip process) raises with a clear message.
     """
     with open(os.path.join(path, ARTIFACT_META)) as f:
         meta = json.load(f)
@@ -202,6 +306,25 @@ def load_artifact(path: str):
             f"serving artifact at {path} was exported for platforms "
             f"{meta.get('platforms')} but this process runs on '{backend}'; "
             "re-export on the target platform")
+    ndev = int(meta.get("num_devices", 1))
+    if ndev > len(jax.devices()):
+        raise RuntimeError(
+            f"serving artifact at {path} is an SPMD program over {ndev} "
+            f"devices but this process has {len(jax.devices())}; re-export "
+            "with a matching mesh")
     with open(os.path.join(path, ARTIFACT_BIN), "rb") as f:
         exported = jax.export.deserialize(bytearray(f.read()))
-    return jax.jit(exported.call), meta
+    if ndev <= 1:
+        return jax.jit(exported.call), meta
+    # an SPMD artifact must be CALLED in a matching n-device context:
+    # rebuild the serving contract's shardings (seed replicated, batch
+    # axis sharded over a 1-D mesh) at the call site
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import make_mesh
+
+    mesh = make_mesh(ndev)
+    repl = NamedSharding(mesh, P())
+    b0 = NamedSharding(mesh, P("data"))
+    return jax.jit(exported.call, in_shardings=(repl, b0),
+                   out_shardings=(b0, b0, b0)), meta
