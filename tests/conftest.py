@@ -16,6 +16,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# the suite is compile-bound on this 1-core box: persist XLA executables
+# across runs (same cache bench.py uses on TPU; keyed by HLO hash, so stale
+# entries are impossible)
+_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

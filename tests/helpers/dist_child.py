@@ -14,6 +14,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 1)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
