@@ -17,7 +17,7 @@ import numpy as np
 
 from ..data.loader import Batches, prefetch_to_device
 from ..train.train_state import TrainState, ema_slice
-from ..utils.checkpoint import save_checkpoint
+from ..utils.checkpoint import save_checkpoint, wait_for_async_saves
 from ..utils.logging_utils import LossTxtLogger, ScalarWriter
 
 
@@ -214,14 +214,22 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
                 # barriers are collectives (orbax does the rank-0 write gating).
                 # te_loss is identical on all hosts (replicated metrics), so the
                 # best-ckpt branch agrees.
+                # async: the disk write overlaps the next epoch's compute
+                # (the payload is already host-fetched; orbax commits with an
+                # atomic rename).  tpu.async_checkpointing: false forces the
+                # old blocking behavior.
+                async_ckpt = bool(config.tpu.get("async_checkpointing", True)
+                                  if "tpu" in config else True)
                 ckpt_path = os.path.join(config.model_ckpt_dir, f"{epoch:05d}")
                 save_checkpoint(ckpt_path, state,
-                                extra={"epoch": epoch, "test_loss": te_loss})
+                                extra={"epoch": epoch, "test_loss": te_loss},
+                                asynchronous=async_ckpt)
                 if te_loss < lowest["loss"] and epoch >= min(
                         save_interval, config.train.max_epoch - 1):
                     lowest.update(epoch=epoch, loss=te_loss)
                     save_checkpoint(os.path.join(config.model_save_dir, "best"),
-                                    state, extra={"epoch": epoch, "test_loss": te_loss})
+                                    state, extra={"epoch": epoch, "test_loss": te_loss},
+                                    asynchronous=async_ckpt)
             sync_hosts(f"epoch_{epoch}")
 
             # in-training sampling with the largest-beta EMA
@@ -238,5 +246,6 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
                                sampling_params=sampling_params, writer=writer)
     finally:
         _restore_handlers()
+        wait_for_async_saves()  # drain any in-flight checkpoint write
     loss_txt.close()
     return state

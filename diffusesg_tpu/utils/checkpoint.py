@@ -35,7 +35,27 @@ def _to_host(tree: Any) -> Any:
     return fetch_to_host(tree)
 
 
-def save_checkpoint(path: str, state: "TrainState", extra: dict | None = None) -> None:
+# one persistent checkpointer so async saves can finish in the background
+# (orbax's StandardCheckpointer IS an AsyncCheckpointer; a throwaway
+# instance forces a synchronous wait)
+_CKPTR: "ocp.StandardCheckpointer | None" = None
+
+
+def _checkpointer() -> "ocp.StandardCheckpointer":
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_for_async_saves() -> None:
+    """Block until every async save_checkpoint has committed to disk."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
+def save_checkpoint(path: str, state: "TrainState", extra: dict | None = None,
+                    asynchronous: bool = False) -> None:
     """Save a TrainState (+ optional metadata dict) to ``path``.
 
     Multi-host: call from EVERY process — both the sharded-leaf gather and
@@ -43,6 +63,13 @@ def save_checkpoint(path: str, state: "TrainState", extra: dict | None = None) -
     (replicated numpy) payload from the primary host only, giving the
     reference's rank-0 torch.save semantics (trainer_utils.py) without a
     hand-rolled gate.
+
+    ``asynchronous=True`` returns as soon as the (already host-fetched)
+    payload is staged: the disk write overlaps the next training epoch —
+    orbax renames the directory into place atomically on commit, so readers
+    never observe a partial checkpoint.  At most one save is in flight
+    (a new save first drains the previous one); call
+    ``wait_for_async_saves()`` before relying on the files.
     """
     path = os.path.abspath(path)
     payload = {
@@ -54,13 +81,16 @@ def save_checkpoint(path: str, state: "TrainState", extra: dict | None = None) -
     }
     if extra:
         payload["extra"] = extra
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()  # at most one write in flight
     ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+    if not asynchronous:
+        ckptr.wait_until_finished()
 
 
 def restore_checkpoint(path: str, template_state: "TrainState | None" = None) -> dict:
     """Restore a checkpoint; with a template the result is dtype/shape-checked."""
+    wait_for_async_saves()  # the path may still be committing
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if template_state is not None:

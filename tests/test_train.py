@@ -168,3 +168,29 @@ def test_train_step_overfits_tiny_model(rng):
     assert np.isfinite(losses).all()
     assert np.mean(losses_adj[-5:]) < 0.75 * np.mean(losses_adj[:5]), losses_adj
     assert int(state.step) == 60
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """asynchronous=True saves commit in the background and restore equal
+    payloads; restore_checkpoint drains in-flight writes first."""
+    from diffusesg_tpu.utils.checkpoint import (restore_checkpoint,
+                                                save_checkpoint,
+                                                wait_for_async_saves)
+
+    params = {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.ones((4,))}
+    state = create_train_state(params, [0.9, 0.999],
+                               make_optimizer(1e-3, 1.0, 1))
+    p1 = str(tmp_path / "ck1")
+    p2 = str(tmp_path / "ck2")
+    save_checkpoint(p1, state, extra={"epoch": 1}, asynchronous=True)
+    # a second async save drains the first (at most one in flight)
+    save_checkpoint(p2, state, extra={"epoch": 2}, asynchronous=True)
+    got1 = restore_checkpoint(p1, template_state=state)  # waits internally
+    wait_for_async_saves()
+    got2 = restore_checkpoint(p2, template_state=state)
+    assert got1["extra"]["epoch"] == 1 and got2["extra"]["epoch"] == 2
+    for got in (got1, got2):
+        np.testing.assert_array_equal(np.asarray(got["params"]["w"]),
+                                      np.arange(12.0).reshape(3, 4))
+        np.testing.assert_allclose(np.asarray(got["ema_betas"]),
+                                   [0.9, 0.999], rtol=1e-6)
