@@ -56,7 +56,8 @@ def _resolve_mesh(ndev_flag: int, batch: int):
     import jax
     from ..parallel.mesh import make_mesh
 
-    local = len(jax.devices())
+    local_devs = jax.local_devices()  # a serving process drives ITS devices
+    local = len(local_devs)
     if ndev_flag == 0:
         ndev = local if (local > 1 and batch % local == 0) else 1
     else:
@@ -66,11 +67,15 @@ def _resolve_mesh(ndev_flag: int, batch: int):
         if batch % ndev:
             raise SystemExit(f"--batch_size {batch} must be divisible by "
                              f"--devices {ndev}")
-    return (make_mesh(ndev) if ndev > 1 else None), ndev
+    return (make_mesh(ndev, devices=local_devs) if ndev > 1 else None), ndev
 
 
 def _load_from_checkpoint(args):
-    """(serve_fn, batch, max_n, config) from a checkpoint/run dir."""
+    """Restore weights and build the (possibly mesh-sharded) serving fns.
+
+    Returns (serve_fn, complete_fn, batch, max_node_num, config,
+    (num_node_types, num_edge_types), (model, params, sampler, mesh,
+    spmd_mode)) — the trailing bundle feeds the --export_to path."""
     import jax
     from ..config import load_config
     from ..models import build_model
@@ -79,7 +84,7 @@ def _load_from_checkpoint(args):
                                   make_sharded_completion_fn,
                                   make_sharded_serving_fn)
     from ..train.train_state import ema_slice
-    from ..utils.checkpoint import restore_checkpoint, select_checkpoints
+    from ..utils.checkpoint import latest_checkpoint, restore_checkpoint
     from .common import find_eval_config
 
     config_file = args.config_file or find_eval_config(args.model_path)
@@ -93,11 +98,10 @@ def _load_from_checkpoint(args):
 
     ckpt_path = args.model_path
     if os.path.isdir(os.path.join(ckpt_path, "models_ckpt")):
-        ckpts = select_checkpoints(os.path.join(ckpt_path, "models_ckpt"),
-                                   None, None, None, 1)
-        if not ckpts:
+        newest = latest_checkpoint(os.path.join(ckpt_path, "models_ckpt"))
+        if newest is None:
             raise FileNotFoundError(f"no checkpoints under {ckpt_path}")
-        ckpt_path = ckpts[-1]
+        ckpt_path = newest
     payload = restore_checkpoint(ckpt_path)
     betas = np.asarray(payload["ema_betas"])
     if args.ema == "none":
@@ -162,8 +166,12 @@ def main(argv=None):
         if config is None:
             raise SystemExit("--export_to needs a checkpoint, not an artifact")
         from ..serving.export import export_sampler, save_artifact
+        # SPMD export only on an EXPLICIT --devices N>1: an N-device artifact
+        # refuses to load on fewer chips, so auto mode must not silently
+        # break the portable single-device default
+        export_mesh = mesh if args.devices > 1 else None
         exported = export_sampler(model, params, sampler, config, batch,
-                                  mesh=mesh, spmd_mode=spmd_mode)
+                                  mesh=export_mesh, spmd_mode=spmd_mode)
         save_artifact(args.export_to, exported, config, batch)
         logging.info("exported sampler artifact to %s (%d device(s))",
                      args.export_to, int(exported.nr_devices))

@@ -156,6 +156,19 @@ def make_completion_fn(model, params, sampler: NodeAdjEDMSampler, config):
     Node-type and bbox knowledge are masked independently (per-channel
     node mask), so "this node is a person, place it anywhere" works.
     """
+    return _completion_fn_from_impl(_completion_impl(model, sampler, config),
+                                    params)
+
+
+def _completion_fn_from_impl(impl, params):
+    def complete_fn(seed, *args):
+        return impl(params, jax.random.PRNGKey(seed), *args)
+    return complete_fn
+
+
+def _completion_impl(model, sampler: NodeAdjEDMSampler, config):
+    """(params, rng, node_flags, known/mask tensors) -> decoded-graphs core
+    shared by the single-device, GSPMD, and shard_map completion variants."""
     from ..ops.attribute_code import attribute_converter
 
     info = resolve_sampling_channels(config)
@@ -204,11 +217,7 @@ def make_completion_fn(model, params, sampler: NodeAdjEDMSampler, config):
         dec = decode(adjs, nodes, node_flags)
         return dec.adj_types, dec.node_types, dec.bboxes
 
-    def complete_fn(seed, *args):
-        return impl(params, jax.random.PRNGKey(seed), *args)
-
-    complete_fn._impl = impl  # reused by make_sharded_completion_fn
-    return complete_fn
+    return impl
 
 
 def make_sharded_completion_fn(model, params, sampler: NodeAdjEDMSampler,
@@ -221,7 +230,7 @@ def make_sharded_completion_fn(model, params, sampler: NodeAdjEDMSampler,
 
     from ..parallel.mesh import replicate_tree
 
-    impl = make_completion_fn(model, params, sampler, config)._impl
+    impl = _completion_impl(model, sampler, config)
     n_batch_args = 7  # node_flags + 3x (known, mask) pairs
     if spmd_mode == "shard_map":
         def local_fn(p, seed, *args):
@@ -238,7 +247,7 @@ def make_sharded_completion_fn(model, params, sampler: NodeAdjEDMSampler,
         return lambda seed, *args: jitted(params, seed, *args)
 
     params = replicate_tree(params, mesh)
-    fn = make_completion_fn(model, params, sampler, config)
+    fn = _completion_fn_from_impl(impl, params)
     repl = NamedSharding(mesh, P())
     b0 = NamedSharding(mesh, P(axis_name))
     return jax.jit(fn, in_shardings=(repl,) + (b0,) * n_batch_args,

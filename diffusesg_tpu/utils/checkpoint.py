@@ -82,7 +82,8 @@ def save_checkpoint(path: str, state: "TrainState", extra: dict | None = None,
     if extra:
         payload["extra"] = extra
     ckptr = _checkpointer()
-    ckptr.wait_until_finished()  # at most one write in flight
+    # orbax's AsyncCheckpointer.save drains any previous in-flight save
+    # itself, so at most one write is in flight by its own contract
     ckptr.save(path, payload, force=True)
     if not asynchronous:
         ckptr.wait_until_finished()
@@ -143,18 +144,34 @@ def state_from_payload(payload: dict):
 
 def list_checkpoints(ckpt_dir: str) -> list[str]:
     """Sorted step-named checkpoint directories under ``ckpt_dir``
-    (eval-side search, reference: arg_parser.py:144-184)."""
+    (eval-side search, reference: arg_parser.py:144-184).
+
+    In-progress orbax staging dirs (``*.orbax-checkpoint-tmp*``) are
+    excluded: an async save (or one cut short by a hard kill) stages there
+    — and the staging dir carries _CHECKPOINT_METADATA from the first
+    write, so it would otherwise be picked up as a (corrupt) checkpoint
+    by resume/eval/serve discovery.
+    """
     if not os.path.isdir(ckpt_dir):
         return []
     out = []
     for name in os.listdir(ckpt_dir):
         full = os.path.join(ckpt_dir, name)
-        if os.path.isdir(full):
+        if os.path.isdir(full) and "orbax-checkpoint-tmp" not in name:
             out.append(full)
     def _key(p):
         base = os.path.basename(p)
         return (0, int(base)) if base.isdigit() else (1, base)
     return sorted(out, key=_key)
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    """The newest finalized checkpoint in ``ckpt_dir`` (by mtime — the
+    preempt checkpoint counts), or None.  What serve/resume should load;
+    select_checkpoints' num_ckpts semantics are evenly-spaced eval sweeps,
+    not 'latest'."""
+    ckpts = list_checkpoints(ckpt_dir)
+    return max(ckpts, key=os.path.getmtime) if ckpts else None
 
 
 def select_checkpoints(ckpt_dir: str, min_epoch: int | None = None,

@@ -210,7 +210,8 @@ def test_preemption_checkpoint_and_run_dir_resume(tiny_cfg_file, tmp_path):
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
         "jax.config.update('jax_num_cpu_devices', 2)\n"
-        f"jax.config.update('jax_compilation_cache_dir', {repr(os.path.abspath('.jax_cache'))})\n"
+        f"jax.config.update('jax_compilation_cache_dir', "
+        f"{repr(os.path.abspath(os.path.join(os.path.dirname(__file__), '..', '.jax_cache')))})\n"
         "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)\n"
         f"import sys; sys.path.insert(0, {repr(os.getcwd())})\n"
         "from diffusesg_tpu.cli import train as t\n"

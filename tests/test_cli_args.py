@@ -103,3 +103,50 @@ class TestSelectEmaIndices:
 
     def test_ema_weights_alias(self):
         assert select_ema_indices(self.BETAS, "all", ema_weights=["0.9"]) == [0]
+
+
+def test_checkpoint_discovery_skips_orbax_tmp_dirs(tmp_path):
+    """An async save killed mid-write leaves <name>.orbax-checkpoint-tmp-*
+    (already carrying _CHECKPOINT_METADATA); discovery must never pick it
+    (resume/eval/serve would restore a partial checkpoint)."""
+    import os
+    import time
+
+    from diffusesg_tpu.utils.checkpoint import (latest_checkpoint,
+                                                list_checkpoints,
+                                                select_checkpoints)
+
+    ck = tmp_path / "models_ckpt"
+    for name in ["00000", "00001"]:
+        d = ck / name
+        d.mkdir(parents=True)
+        (d / "_CHECKPOINT_METADATA").write_text("{}")
+        time.sleep(0.01)
+    tmp = ck / "00002.orbax-checkpoint-tmp-1234"
+    tmp.mkdir()
+    (tmp / "_CHECKPOINT_METADATA").write_text("{}")  # newest mtime!
+
+    listed = [os.path.basename(p) for p in list_checkpoints(str(ck))]
+    assert listed == ["00000", "00001"]
+    assert os.path.basename(latest_checkpoint(str(ck))) == "00001"
+    sel = [os.path.basename(p) for p in select_checkpoints(str(ck))]
+    assert "00002.orbax-checkpoint-tmp-1234" not in sel
+
+
+def test_latest_checkpoint_prefers_newest_not_linspace(tmp_path):
+    """serve -p <run_dir> must load the NEWEST checkpoint; num_ckpts=1
+    select_checkpoints returns the OLDEST (evenly-spaced sweep semantics)."""
+    import os
+    import time
+
+    from diffusesg_tpu.utils.checkpoint import (latest_checkpoint,
+                                                select_checkpoints)
+
+    ck = tmp_path / "models_ckpt"
+    for name in ["00000", "00050", "00099"]:
+        (ck / name).mkdir(parents=True)
+        time.sleep(0.01)
+    assert os.path.basename(latest_checkpoint(str(ck))) == "00099"
+    # documents why serve must NOT use num_ckpts=1 for "latest"
+    only = select_checkpoints(str(ck), num_ckpts=1)
+    assert os.path.basename(only[0]) == "00000"

@@ -200,3 +200,68 @@ def test_export_batch_must_divide_mesh(tiny_cfg, built):
     with pytest.raises(ValueError, match="must divide"):
         export_sampler(model, params, sampler, tiny_cfg, batch_size=6,
                        mesh=make_mesh(8))
+
+
+def test_shardmap_completion_matches_host_emulation(tiny_cfg, built):
+    from diffusesg_tpu.sampling import get_mc_sampler
+    from diffusesg_tpu.serving.export import (_completion_impl,
+                                              make_sharded_completion_fn)
+
+    model, params = built
+    sampler = get_mc_sampler(tiny_cfg)
+    n = tiny_cfg.dataset.max_node_num
+    B = 8
+    flags = _flags(B, n, [6] * B)
+    kn = np.zeros((B, n), np.int32)
+    mn = np.zeros((B, n), bool)
+    kb = np.full((B, n, 4), 0.5, np.float32)
+    mb = np.zeros((B, n), bool)
+    ka = np.zeros((B, n, n), np.int32)
+    ma = np.zeros((B, n, n), bool)
+    kn[:, 0] = 7
+    mn[:, 0] = True
+    ka[:, 0, 1] = 1
+    ma[:, 0, 1] = True
+    args = (flags, kn, mn, kb, mb, ka, ma)
+
+    sharded = make_sharded_completion_fn(model, params, sampler, tiny_cfg,
+                                         make_mesh(8), "shard_map")
+    got = [np.asarray(v) for v in sharded(np.int32(6), *args)]
+    assert (got[1][:, 0] == 7).all() and (got[0][:, 0, 1] == 1).all()
+
+    impl = jax.jit(_completion_impl(model, sampler, tiny_cfg))
+    base = jax.random.PRNGKey(6)
+    for shard in range(8):
+        rng = jax.random.fold_in(base, shard)
+        sl = slice(shard, shard + 1)
+        ref = impl(params, rng, *[a[sl] for a in args])
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r), g[sl])
+
+
+def test_spmd_artifact_roundtrip_shardmap(tiny_cfg, built, tmp_path):
+    """shard_map programs (the Pallas multi-chip path) also export/reload."""
+    from diffusesg_tpu.sampling import get_mc_sampler
+    from diffusesg_tpu.serving.export import (export_sampler, load_artifact,
+                                              make_sharded_serving_fn,
+                                              save_artifact)
+
+    model, params = built
+    sampler = get_mc_sampler(tiny_cfg)
+    mesh = make_mesh(8)
+    exported = export_sampler(model, params, sampler, tiny_cfg,
+                              batch_size=8, mesh=mesh, spmd_mode="shard_map")
+    assert exported.nr_devices == 8
+    art = str(tmp_path / "sm_artifact")
+    save_artifact(art, exported, tiny_cfg, batch_size=8)
+    loaded, meta = load_artifact(art)
+    assert meta["num_devices"] == 8
+
+    n = tiny_cfg.dataset.max_node_num
+    flags = _flags(8, n, [8, 6, 4, 2, 8, 6, 4, 2])
+    live = make_sharded_serving_fn(model, params, sampler, tiny_cfg,
+                                   mesh, "shard_map")
+    ref = [np.asarray(v) for v in live(np.int32(13), flags)]
+    got = [np.asarray(v) for v in loaded(np.int32(13), flags)]
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
