@@ -70,12 +70,14 @@ def _resolve_mesh(ndev_flag: int, batch: int):
     return (make_mesh(ndev, devices=local_devs) if ndev > 1 else None), ndev
 
 
-def _load_from_checkpoint(args):
+def _load_from_checkpoint(args, build_fns: bool = True):
     """Restore weights and build the (possibly mesh-sharded) serving fns.
 
     Returns (serve_fn, complete_fn, batch, max_node_num, config,
     (num_node_types, num_edge_types), (model, params, sampler, mesh,
-    spmd_mode)) — the trailing bundle feeds the --export_to path."""
+    spmd_mode)) — the trailing bundle feeds the --export_to path, which
+    passes ``build_fns=False`` so no live serving fns (or their replicated
+    parameter placements) are constructed just to be discarded."""
     import jax
     from ..config import load_config
     from ..models import build_model
@@ -121,14 +123,20 @@ def _load_from_checkpoint(args):
     mesh, ndev = _resolve_mesh(args.devices, batch)
     spmd_mode = (config.tpu.get("spmd_mode", "gspmd")
                  if "tpu" in config else "gspmd")
-    if mesh is not None:
+    serve_fn = complete_fn = None
+    if build_fns and mesh is not None:
         logging.info("serving on a %d-device data mesh (spmd_mode=%s)",
                      ndev, spmd_mode)
+        # replicate ONCE; the builders' internal replicate_tree is a no-op
+        # device_put on an already-replicated tree, so generation and
+        # completion share one on-device parameter copy
+        from ..parallel.mesh import replicate_tree
+        params = replicate_tree(params, mesh)
         serve_fn = make_sharded_serving_fn(model, params, sampler, config,
                                            mesh, spmd_mode)
         complete_fn = make_sharded_completion_fn(model, params, sampler,
                                                  config, mesh, spmd_mode)
-    else:
+    elif build_fns:
         serve_fn = jax.jit(make_serving_fn(model, params, sampler, config))
         complete_fn = jax.jit(make_completion_fn(model, params, sampler, config))
     from ..models.channels import resolve_sampling_channels
@@ -155,12 +163,18 @@ def main(argv=None):
         from ..serving.export import load_artifact
         fn, meta = load_artifact(args.from_artifact)
         batch, max_n = int(meta["batch_size"]), int(meta["max_node_num"])
+        if args.devices not in (0, int(meta.get("num_devices", 1))):
+            logging.warning(
+                "--devices %d ignored: the artifact is a fixed SPMD program "
+                "over %d device(s); re-export with a matching mesh to change "
+                "the topology", args.devices, int(meta.get("num_devices", 1)))
         logging.info("loaded artifact %s (%s)", args.from_artifact, meta)
     else:
         if not args.model_path:
             raise SystemExit("need -p/--model_path or --from_artifact")
         (fn, complete_fn, batch, max_n, config, bounds,
-         (model, params, sampler, mesh, spmd_mode)) = _load_from_checkpoint(args)
+         (model, params, sampler, mesh, spmd_mode)) = _load_from_checkpoint(
+             args, build_fns=not args.export_to)
 
     if args.export_to:
         if config is None:

@@ -54,15 +54,12 @@ def main(argv=None):
         # a run dir (or its models_ckpt/) resolves to its NEWEST checkpoint —
         # preempt included — so `--resume <run_dir>` restarts a preempted job
         continue_epochs = False
-        def _is_ckpt(d):  # an orbax checkpoint itself, not a house of them
-            return os.path.exists(os.path.join(d, "_CHECKPOINT_METADATA"))
-
+        from ..utils.checkpoint import is_finalized_checkpoint, latest_checkpoint
         for cand in (os.path.join(resume, "models_ckpt"), resume):
-            if os.path.isdir(cand) and not _is_ckpt(cand):
-                from ..utils.checkpoint import list_checkpoints
-                ckpts = [c for c in list_checkpoints(cand) if _is_ckpt(c)]
-                if ckpts:
-                    resume = max(ckpts, key=os.path.getmtime)
+            if os.path.isdir(cand) and not is_finalized_checkpoint(cand):
+                newest = latest_checkpoint(cand)
+                if newest is not None:
+                    resume = newest
                     continue_epochs = True  # run-dir resume = "continue me"
                     break
         logging.info("resuming from %s", resume)

@@ -316,11 +316,15 @@ def load_artifact(path: str):
             f"{meta.get('platforms')} but this process runs on '{backend}'; "
             "re-export on the target platform")
     ndev = int(meta.get("num_devices", 1))
-    if ndev > len(jax.devices()):
+    # local_devices: a serving process drives ITS OWN chips (matches
+    # cli/serve._resolve_mesh); jax.devices() would count non-addressable
+    # devices in a multi-host runtime and build an unfeedable mesh
+    local_devs = jax.local_devices()
+    if ndev > len(local_devs):
         raise RuntimeError(
             f"serving artifact at {path} is an SPMD program over {ndev} "
-            f"devices but this process has {len(jax.devices())}; re-export "
-            "with a matching mesh")
+            f"devices but this process has {len(local_devs)} addressable; "
+            "re-export with a matching mesh")
     with open(os.path.join(path, ARTIFACT_BIN), "rb") as f:
         exported = jax.export.deserialize(bytearray(f.read()))
     if ndev <= 1:
@@ -332,7 +336,7 @@ def load_artifact(path: str):
 
     from ..parallel.mesh import make_mesh
 
-    mesh = make_mesh(ndev)
+    mesh = make_mesh(ndev, devices=local_devs)
     repl = NamedSharding(mesh, P())
     b0 = NamedSharding(mesh, P("data"))
     return jax.jit(exported.call, in_shardings=(repl, b0),

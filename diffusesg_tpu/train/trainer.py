@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import logging
 import os
+import sys
 import time
 
 import jax
@@ -246,6 +247,15 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
                                sampling_params=sampling_params, writer=writer)
     finally:
         _restore_handlers()
-        wait_for_async_saves()  # drain any in-flight checkpoint write
-    loss_txt.close()
+        try:
+            wait_for_async_saves()  # drain any in-flight checkpoint write
+        except Exception:
+            # on the normal path a failed background commit must fail the
+            # run (the checkpoint on disk is bad); during an exception
+            # unwind it must NOT replace the original training error
+            if sys.exc_info()[0] is None:
+                loss_txt.close()
+                raise
+            logging.exception("async checkpoint drain failed during unwind")
+        loss_txt.close()
     return state

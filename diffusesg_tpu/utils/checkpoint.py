@@ -165,13 +165,38 @@ def list_checkpoints(ckpt_dir: str) -> list[str]:
     return sorted(out, key=_key)
 
 
+def is_finalized_checkpoint(path: str) -> bool:
+    """True iff ``path`` is a committed orbax checkpoint directory (not a
+    run dir, notes dir, or aborted copy)."""
+    return os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))
+
+
 def latest_checkpoint(ckpt_dir: str) -> str | None:
-    """The newest finalized checkpoint in ``ckpt_dir`` (by mtime — the
-    preempt checkpoint counts), or None.  What serve/resume should load;
-    select_checkpoints' num_ckpts semantics are evenly-spaced eval sweeps,
-    not 'latest'."""
-    ckpts = list_checkpoints(ckpt_dir)
-    return max(ckpts, key=os.path.getmtime) if ckpts else None
+    """The latest finalized checkpoint in ``ckpt_dir``, or None.  What
+    serve/resume should load; select_checkpoints' num_ckpts semantics are
+    evenly-spaced eval sweeps, not 'latest'.
+
+    Selection rule: the HIGHEST numeric epoch wins — directory mtimes do
+    not survive cp -r / object-store restores, so they cannot order epochs.
+    A non-numeric checkpoint (e.g. the SIGTERM ``preempt`` save) wins only
+    when its mtime is strictly newer than the best epoch's (it is written
+    mid-training, after the last rolling save, so on an untouched run dir
+    this picks it up; after an mtime-flattening copy the tie falls back to
+    the highest epoch).  Only committed checkpoints are considered.
+    """
+    ckpts = [c for c in list_checkpoints(ckpt_dir) if is_finalized_checkpoint(c)]
+    if not ckpts:
+        return None
+    numeric = [c for c in ckpts if os.path.basename(c).isdigit()]
+    other = [c for c in ckpts if not os.path.basename(c).isdigit()]
+    best_num = (max(numeric, key=lambda p: int(os.path.basename(p)))
+                if numeric else None)
+    best_other = max(other, key=os.path.getmtime) if other else None
+    if best_num is None or (best_other is not None and
+                            os.path.getmtime(best_other)
+                            > os.path.getmtime(best_num)):
+        return best_other
+    return best_num
 
 
 def select_checkpoints(ckpt_dir: str, min_epoch: int | None = None,

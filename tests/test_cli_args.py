@@ -145,8 +145,44 @@ def test_latest_checkpoint_prefers_newest_not_linspace(tmp_path):
     ck = tmp_path / "models_ckpt"
     for name in ["00000", "00050", "00099"]:
         (ck / name).mkdir(parents=True)
+        (ck / name / "_CHECKPOINT_METADATA").write_text("{}")
         time.sleep(0.01)
     assert os.path.basename(latest_checkpoint(str(ck))) == "00099"
     # documents why serve must NOT use num_ckpts=1 for "latest"
     only = select_checkpoints(str(ck), num_ckpts=1)
     assert os.path.basename(only[0]) == "00000"
+
+
+def test_latest_checkpoint_epoch_order_survives_mtime_flattening(tmp_path):
+    """A run dir restored by cp -r / rsync-without-times flattens directory
+    mtimes (often reversing them via readdir order); 'latest' must still be
+    the HIGHEST epoch, and a preempt save must only win while its mtime is
+    genuinely newer."""
+    import os
+    import time
+
+    from diffusesg_tpu.utils.checkpoint import latest_checkpoint
+
+    ck = tmp_path / "models_ckpt"
+    # epochs written newest-epoch-FIRST so mtime order contradicts epoch order
+    for name in ["00099", "00050", "00000"]:
+        (ck / name).mkdir(parents=True)
+        (ck / name / "_CHECKPOINT_METADATA").write_text("{}")
+        time.sleep(0.01)
+    assert os.path.basename(latest_checkpoint(str(ck))) == "00099"
+
+    # a stray non-checkpoint dir (no metadata) with the newest mtime is ignored
+    (ck / "notes").mkdir()
+    assert os.path.basename(latest_checkpoint(str(ck))) == "00099"
+
+    # a preempt checkpoint saved after the last rolling save wins...
+    time.sleep(0.01)
+    pre = ck / "preempt"
+    pre.mkdir()
+    (pre / "_CHECKPOINT_METADATA").write_text("{}")
+    assert os.path.basename(latest_checkpoint(str(ck))) == "preempt"
+    # ...but loses the tie once mtimes are flattened to the same instant
+    now = time.time()
+    for name in ["00099", "00050", "00000", "preempt"]:
+        os.utime(ck / name, (now, now))
+    assert os.path.basename(latest_checkpoint(str(ck))) == "00099"
