@@ -251,7 +251,7 @@ def edm_sigma_grid(num_steps: int, sigma_min: float, sigma_max: float, rho: floa
     """The rho-spaced EDM sigma grid, computed host-side in float64.
 
     Reference: runner/mcmc_sampler/edm.py:85-88 (float64 grid at edm.py:70).
-    """
-    idx = np.arange(num_steps, dtype=np.float64)
-    return (sigma_max ** (1 / rho)
-            + idx / (num_steps - 1) * (sigma_min ** (1 / rho) - sigma_max ** (1 / rho))) ** rho
+    Delegates to the sampler's grid builder so the formula lives in exactly
+    one place (a fix to round_sigma/grid parity reaches both callers)."""
+    from ..sampling.edm_sampler import _np_sigma_grid
+    return _np_sigma_grid("edm", num_steps, sigma_min, sigma_max, rho)

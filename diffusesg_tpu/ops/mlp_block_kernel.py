@@ -30,11 +30,13 @@ def _layer_norm(x, gamma, beta, eps=1e-6):
     return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
 
 
-def mlp_block_xla(x, ln_gamma, ln_beta, w1, b1, w2, b2):
-    """Reference XLA path: x [B, L, C]."""
+def mlp_block_xla(x, ln_gamma, ln_beta, w1, b1, w2, b2,
+                  approximate: bool = False):
+    """Reference XLA path: x [B, L, C]; tanh GELU when mirroring the TPU
+    kernel (which has no erf), exact erf otherwise."""
     h = _layer_norm(x.astype(jnp.float32), ln_gamma, ln_beta).astype(x.dtype)
     h = jnp.dot(h, w1, preferred_element_type=jnp.float32) + b1
-    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    h = jax.nn.gelu(h, approximate=approximate).astype(x.dtype)
     out = jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2
     return x + out.astype(x.dtype)
 
@@ -115,6 +117,15 @@ def _fwd_impl(x, ln_gamma, ln_beta, w1, b1, w2, b2):
         interpret=INTERPRET,
     )(x.reshape(n, c), vec(ln_gamma), vec(ln_beta), w1, vec(b1), w2, vec(b2))
     return out.reshape(b, L, c)
+
+
+def _fwd_kernel_path_taken(x, hidden: int) -> bool:
+    """Replicates _fwd_impl's static dispatch: True iff the Pallas kernel
+    (tanh GELU) produced the forward value."""
+    if jax.default_backend() != "tpu" and not INTERPRET:
+        return False
+    b, L, c = x.shape
+    return _pick_token_tile(b * L, c, hidden) != 0
 
 
 def _fwd(x, ln_gamma, ln_beta, w1, b1, w2, b2):
@@ -386,7 +397,11 @@ def _bwd(residuals, g):
     res = mlp_bwd_call(x.reshape(b * L, c), ln_gamma, ln_beta, w1, b1, w2,
                        g.reshape(b * L, c).astype(x.dtype))
     if res is None:
-        _, vjp = jax.vjp(mlp_block_xla, x, ln_gamma, ln_beta, w1, b1, w2, b2)
+        # differentiate the SAME function the forward evaluated: tanh GELU
+        # if the forward took the Pallas kernel path, exact erf otherwise
+        approx = _fwd_kernel_path_taken(x, w1.shape[1])
+        _, vjp = jax.vjp(functools.partial(mlp_block_xla, approximate=approx),
+                         x, ln_gamma, ln_beta, w1, b1, w2, b2)
         return vjp(g)
     dx, dg_, db_, dw1, db1_, dw2, db2_ = res
     # cotangent dtypes must match the primals (weights may arrive bf16)

@@ -29,10 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 INTERPRET = False
 
 
-def readout_mlp_xla(x, w1, b1, w2, b2):
-    """[N, C] -> [N, out] with exact-erf GELU."""
+def readout_mlp_xla(x, w1, b1, w2, b2, approximate: bool = False):
+    """[N, C] -> [N, out]; exact-erf GELU by default, tanh when mirroring
+    the TPU kernel (which has no erf)."""
     h = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1
-    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    h = jax.nn.gelu(h, approximate=approximate).astype(x.dtype)
     return (jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2
             ).astype(jnp.float32)
 
@@ -93,12 +94,25 @@ def _fwd_impl(x, w1, b1, w2, b2):
     return res[:, :out]
 
 
+def _kernel_path_taken(x) -> bool:
+    """Replicates _fwd_impl's static dispatch: True iff the Pallas kernel
+    (tanh GELU) ran, so the backward differentiates the SAME function."""
+    if jax.default_backend() != "tpu" and not INTERPRET:
+        return False
+    t = 2048
+    while x.shape[0] % t != 0:
+        t //= 2
+    return t >= 8
+
+
 def _fwd(x, w1, b1, w2, b2):
     return _fwd_impl(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
 
 
 def _bwd(res, g):
-    _, vjp = jax.vjp(readout_mlp_xla, *res)
+    fn = functools.partial(readout_mlp_xla,
+                           approximate=_kernel_path_taken(res[0]))
+    _, vjp = jax.vjp(fn, *res)
     return vjp(g)
 
 

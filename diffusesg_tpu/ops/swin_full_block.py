@@ -56,15 +56,17 @@ INTERPRET = False  # tests flip this to run the Pallas kernel on CPU (interpret)
 
 def swin_block_xla(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
                    rel_bias, mask, ln2_g, ln2_b, w1, b1, w2, b2,
-                   num_heads, window):
+                   num_heads, window, approximate: bool = False):
     """Reference XLA composition: attention half then MLP half.
 
     @param x: [B, H, W, C] spatial activations (already rolled if shifted)
+    @param approximate: tanh GELU in the MLP half (mirrors the TPU kernel)
     """
     b, h, w, c = x.shape
     y = swin_attn_block_xla(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv,
                             wproj, bproj, rel_bias, mask, num_heads, window)
-    y2 = mlp_block_xla(y.reshape(b, h * w, c), ln2_g, ln2_b, w1, b1, w2, b2)
+    y2 = mlp_block_xla(y.reshape(b, h * w, c), ln2_g, ln2_b, w1, b1, w2, b2,
+                       approximate=approximate)
     return y2.reshape(b, h, w, c)
 
 
@@ -353,11 +355,28 @@ def _bwd(num_heads, window, residuals, g):
     (x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj, rel_bias, mask,
      ln2_g, ln2_b, w1, b1, w2, b2) = residuals
 
+    # the TPU forward (fused kernel, or fused_mlp_block for the unfused MLP
+    # half) computes tanh GELU; differentiate the same function.  Replicates
+    # _fwd_impl's static dispatch exactly, including the unfused-MLP case
+    # where fused_mlp_block could itself have bailed to the erf XLA path.
+    if jax.default_backend() == "tpu" or INTERPRET:
+        bb, hh, ww, cc = x.shape
+        _, _, _, fuse_mlp = _plan(bb, hh, ww, cc, window, num_heads,
+                                  w1.shape[1])
+        if fuse_mlp:
+            approx = True
+        else:
+            from .mlp_block_kernel import _fwd_kernel_path_taken
+            approx = _fwd_kernel_path_taken(
+                x.reshape(bb, hh * ww, cc), w1.shape[1])
+    else:
+        approx = False
+
     def fwd(xx, ss, g1, bb1n, wq, bq, wp, bp, rel, g2, bb2n, ww1, bbb1, ww2,
             bbb2):
         return swin_block_xla(xx, ss, g1, bb1n, wq, bq, wp, bp, rel, mask,
                               g2, bb2n, ww1, bbb1, ww2, bbb2,
-                              num_heads, window)
+                              num_heads, window, approximate=approx)
 
     _, vjp = jax.vjp(fwd, x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj,
                      bproj, rel_bias, ln2_g, ln2_b, w1, b1, w2, b2)

@@ -26,6 +26,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+INTERPRET = False
+
+
 def _attention_xla(q, k, v, rel_bias, mask, scale):
     """Reference XLA path: q,k,v [nWB, nH, L, hd]; rel_bias [nH, L, L];
     mask [nW, L, L] or None."""
@@ -78,6 +81,11 @@ def _fused_attention(q, k, v, rel_bias, mask, scale):
 
 
 def _fused_attention_fwd_impl(q, k, v, rel_bias, mask, scale):
+    if jax.default_backend() != "tpu" and not INTERPRET:
+        # off-TPU the interpreter would crawl through the unrolled kernel;
+        # use the exact XLA composition like every sibling ops kernel
+        # (tests set INTERPRET=True to exercise the kernel itself)
+        return _attention_xla(q, k, v, rel_bias, mask, scale)
     nwb, nh, L, hd = q.shape
     # tb must divide nW only for the mask block indexing (i % nper); with no
     # mask the tile is constrained by nWB alone — nw=1 here would force
@@ -85,7 +93,7 @@ def _fused_attention_fwd_impl(q, k, v, rel_bias, mask, scale):
     nw = mask.shape[0] if mask is not None else nwb
     tb = _pick_tile(nwb, nw)
     grid = (nwb // tb, nh)
-    interpret = jax.default_backend() != "tpu"
+    interpret = jax.default_backend() != "tpu"  # INTERPRET-forced path
 
     qkv_spec = pl.BlockSpec((tb, 1, L, hd), lambda i, h: (i, h, 0, 0),
                             memory_space=pl.ANY if interpret else pltpu.VMEM)

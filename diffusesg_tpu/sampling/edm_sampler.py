@@ -47,9 +47,15 @@ def adj_to_int(adjs_cont: jax.Array, node_flags: jax.Array, threshold: float) ->
 
 def get_num_edges(adjs_cont: jax.Array, node_flags: jax.Array, threshold: float) -> jax.Array:
     """Edge count per graph after thresholding (reference:
-    runner/mcmc_sampler/__init__.py:49-52)."""
+    runner/mcmc_sampler/__init__.py:49-52).
+
+    Accepts [B, N, N] or channels-last [B, N, N, C] (a node pair counts as
+    an edge when ANY channel clears the threshold); always reduces over the
+    node axes so the result is [B]."""
     disc = adj_to_int(adjs_cont, node_flags, threshold)
-    return (disc > 0).sum(axis=(-1, -2)).astype(jnp.float32) / 2.0
+    if disc.ndim == 4:
+        disc = disc.max(axis=-1)
+    return (disc > 0).sum(axis=(1, 2)).astype(jnp.float32) / 2.0
 
 
 # ---------------------------------------------------------------------------
@@ -136,6 +142,9 @@ class NodeAdjEDMSampler:
     heun_reuse_xhat: bool = True  # reference quirk (edm.py:400-405)
 
     def __post_init__(self):
+        # cache of jitted chunk runners (see _chunk_runner); a frozen
+        # dataclass needs object.__setattr__ for auxiliary state
+        object.__setattr__(self, "_chunk_runners", {})
         assert self.solver in ("euler", "heun")
         assert self.discretization in ("vp", "ve", "iddpm", "edm")
         assert self.schedule in ("vp", "ve", "linear")
@@ -270,6 +279,10 @@ class NodeAdjEDMSampler:
         schedule), RePaint-style; the final output carries the exact known
         values.
         """
+        # more snapshots than steps would alias linspace slots and leave
+        # orphaned all-zero frames; with num_interim <= num_steps the floor
+        # of the >=1-spaced grid is strictly increasing (no duplicates)
+        num_interim = min(num_interim, self.num_steps)
         coefs = jnp.asarray(self.step_coefficients())
         rng, rng_init = jax.random.split(rng)
         if init_adjs is None or init_nodes is None:
@@ -298,39 +311,74 @@ class NodeAdjEDMSampler:
             slot_map = None
             interim_a = interim_x = None
 
+        inpaint_cfg = inpaint or {}
+        ip = (inpaint_cfg.get("gt_adjs"), inpaint_cfg.get("mask_adjs"),
+              inpaint_cfg.get("gt_nodes"), inpaint_cfg.get("mask_nodes"))
+
+        zeros_a = jnp.zeros_like(adjs0)
+        zeros_x = jnp.zeros_like(nodes0)
+        carry0 = (adjs0, nodes0, zeros_a, zeros_x, rng, interim_a, interim_x)
+        steps = jnp.arange(self.num_steps)
+
+        if chunk_steps is None or chunk_steps >= self.num_steps:
+            step = self._build_step(denoiser_fn, node_flags, ip, slot_map)
+            carry, _ = jax.lax.scan(step, carry0, (steps, coefs))
+        else:
+            runner = self._chunk_runner(denoiser_fn, ip, slot_map is not None)
+            carry = carry0
+            for start in range(0, self.num_steps, chunk_steps):
+                end = min(start + chunk_steps, self.num_steps)
+                carry = runner(carry, (steps[start:end], coefs[start:end]),
+                               node_flags, ip, slot_map)
+        adjs, nodes, _, _, rng_out, interim_a, interim_x = carry
+        if any(v is not None for v in ip):
+            # carry the exact known values in the final output
+            adjs, nodes = self._apply_inpaint(node_flags, ip, adjs, nodes,
+                                              0.0, rng_out)
+        if num_interim > 0:
+            return adjs, nodes, interim_a, interim_x
+        return adjs, nodes
+
+    def _apply_inpaint(self, node_flags, ip, adjs_v, nodes_v, sigma, rng_ip):
+        """Replace known entries with GT re-noised at level sigma.
+
+        ``ip`` = (gt_adjs, mask_adjs, gt_nodes, mask_nodes), entries None
+        when unset (see sample's ``inpaint``)."""
+        ip_gt_a, ip_mask_a, ip_gt_x, ip_mask_x = ip
+        k_a, k_x = jax.random.split(rng_ip)
+        if ip_mask_a is not None and ip_gt_a is not None:
+            m = ip_mask_a.astype(adjs_v.dtype)
+            if m.ndim < adjs_v.ndim:
+                m = m[..., None]
+            if self.symmetric_noise:
+                noise = get_sym_normal_noise(k_a, adjs_v.shape, adjs_v.dtype)
+            else:
+                noise = jax.random.normal(k_a, adjs_v.shape, adjs_v.dtype)
+            known = mask_adjs(ip_gt_a + sigma * noise, node_flags)
+            adjs_v = known * m + adjs_v * (1 - m)
+        if ip_mask_x is not None and ip_gt_x is not None:
+            m = ip_mask_x.astype(nodes_v.dtype)
+            if m.ndim < nodes_v.ndim:
+                m = m[..., None]
+            known = mask_nodes(ip_gt_x + sigma * jax.random.normal(
+                k_x, nodes_v.shape, nodes_v.dtype), node_flags)
+            nodes_v = known * m + nodes_v * (1 - m)
+        return adjs_v, nodes_v
+
+    def _build_step(self, denoiser_fn, node_flags, ip, slot_map):
+        """The per-step scan body.  Everything that varies per sample() call
+        (flags, inpainting tensors, snapshot slot map) is an ARGUMENT here so
+        _chunk_runner can cache one jitted runner across calls without any
+        stale-closure hazard; only denoiser_fn and static sampler config stay
+        in the closure."""
+        batch = node_flags.shape[0]
+        has_inpaint = any(v is not None for v in ip)
+
         def _denoise(adjs_hat, nodes_hat, inv_s_hat, sigma_hat, sc_a, sc_x):
             sigma_vec = jnp.full((batch,), sigma_hat, jnp.float32)
             D_a, D_x = denoiser_fn(adjs_hat * inv_s_hat, nodes_hat * inv_s_hat,
                                    sigma_vec, sc_a, sc_x)
             return mask_adjs(D_a, node_flags), mask_nodes(D_x, node_flags)
-
-        inpaint_cfg = inpaint or {}
-        ip_mask_a = inpaint_cfg.get("mask_adjs")
-        ip_mask_x = inpaint_cfg.get("mask_nodes")
-        ip_gt_a = inpaint_cfg.get("gt_adjs")
-        ip_gt_x = inpaint_cfg.get("gt_nodes")
-
-        def _apply_inpaint(adjs_v, nodes_v, sigma, rng_ip):
-            """Replace known entries with GT re-noised at level sigma."""
-            k_a, k_x = jax.random.split(rng_ip)
-            if ip_mask_a is not None and ip_gt_a is not None:
-                m = ip_mask_a.astype(adjs_v.dtype)
-                if m.ndim < adjs_v.ndim:
-                    m = m[..., None]
-                if self.symmetric_noise:
-                    noise = get_sym_normal_noise(k_a, adjs_v.shape, adjs_v.dtype)
-                else:
-                    noise = jax.random.normal(k_a, adjs_v.shape, adjs_v.dtype)
-                known = mask_adjs(ip_gt_a + sigma * noise, node_flags)
-                adjs_v = known * m + adjs_v * (1 - m)
-            if ip_mask_x is not None and ip_gt_x is not None:
-                m = ip_mask_x.astype(nodes_v.dtype)
-                if m.ndim < nodes_v.ndim:
-                    m = m[..., None]
-                known = mask_nodes(ip_gt_x + sigma * jax.random.normal(
-                    k_x, nodes_v.shape, nodes_v.dtype), node_flags)
-                nodes_v = known * m + nodes_v * (1 - m)
-            return adjs_v, nodes_v
 
         def step(carry, scan_in):
             adjs, nodes, sc_a, sc_x, rng, ia, ix = carry
@@ -346,10 +394,10 @@ class NodeAdjEDMSampler:
                 k2, nodes.shape, nodes.dtype)
             adjs_hat = mask_adjs(adjs_hat, node_flags)
             nodes_hat = mask_nodes(nodes_hat, node_flags)
-            if inpaint_cfg:
+            if has_inpaint:
                 rng, k_ip = jax.random.split(rng)
-                adjs_hat, nodes_hat = _apply_inpaint(adjs_hat, nodes_hat,
-                                                     sigma_hat, k_ip)
+                adjs_hat, nodes_hat = self._apply_inpaint(
+                    node_flags, ip, adjs_hat, nodes_hat, sigma_hat, k_ip)
 
             # Euler evaluation (edm.py:368-391)
             den_a, den_x = _denoise(adjs_hat, nodes_hat, inv_s_hat, sigma_hat, sc_a, sc_x)
@@ -402,23 +450,28 @@ class NodeAdjEDMSampler:
                     lambda _: ix, operand=None)
             return (adjs_next, nodes_next, sc_a_next, sc_x_next, rng, ia, ix), None
 
-        zeros_a = jnp.zeros_like(adjs0)
-        zeros_x = jnp.zeros_like(nodes0)
-        carry0 = (adjs0, nodes0, zeros_a, zeros_x, rng, interim_a, interim_x)
-        steps = jnp.arange(self.num_steps)
+        return step
 
-        if chunk_steps is None or chunk_steps >= self.num_steps:
-            carry, _ = jax.lax.scan(step, carry0, (steps, coefs))
-        else:
-            run_chunk = jax.jit(lambda c, xs: jax.lax.scan(step, c, xs)[0])
-            carry = carry0
-            for start in range(0, self.num_steps, chunk_steps):
-                end = min(start + chunk_steps, self.num_steps)
-                carry = run_chunk(carry, (steps[start:end], coefs[start:end]))
-        adjs, nodes, _, _, rng_out, interim_a, interim_x = carry
-        if inpaint_cfg:
-            # carry the exact known values in the final output
-            adjs, nodes = _apply_inpaint(adjs, nodes, 0.0, rng_out)
-        if num_interim > 0:
-            return adjs, nodes, interim_a, interim_x
-        return adjs, nodes
+    def _chunk_runner(self, denoiser_fn, ip, has_interim: bool):
+        """A cached jitted scan-chunk runner.
+
+        The old per-call ``jax.jit(lambda ...)`` re-traced every chunk on
+        every sample() invocation (minutes over the tunnel's remote-compile
+        path); keying on the denoiser and the call STRUCTURE (which inpaint
+        tensors exist, interim on/off) reuses the compiled program, while all
+        per-call arrays travel as arguments.  The cache is bounded; entries
+        hold a strong ref to denoiser_fn (and thus its params closure)."""
+        key = (denoiser_fn, has_interim,
+               tuple(v is not None for v in ip))
+        runner = self._chunk_runners.get(key)
+        if runner is None:
+            def _run(carry, xs, node_flags, ip_arrays, slot_map):
+                step = self._build_step(denoiser_fn, node_flags, ip_arrays,
+                                        slot_map)
+                return jax.lax.scan(step, carry, xs)[0]
+
+            runner = jax.jit(_run)
+            if len(self._chunk_runners) >= 4:
+                self._chunk_runners.clear()
+            self._chunk_runners[key] = runner
+        return runner

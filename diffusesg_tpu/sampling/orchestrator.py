@@ -305,8 +305,12 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
                       p * k_per + total_samples // n_proc
                       + (1 if p < total_samples % n_proc else 0))
             for p in range(n_proc)])
-        res = {k: (v[keep] if getattr(v, "shape", ())[:1] == (n_proc * k_per,)
-                   else v) for k, v in res.items()}
+        # explicit per-sample keys: interim_a/interim_x stack a capped
+        # per-batch slice (min(8, n_real) rows each), so a leading-dim shape
+        # match would mis-trim them whenever the counts coincide
+        per_sample = {"raw_a", "raw_x", "q_adj", "q_adj_gt", "q_node",
+                      "q_node_gt", "flags", "flags_gt", "bbox", "bbox_gt"}
+        res = {k: (v[keep] if k in per_sample else v) for k, v in res.items()}
 
     if not is_main_process():
         return {}

@@ -181,3 +181,88 @@ def test_fused_mlp_block_custom_vjp_uses_kernel_in_interpret():
     gx = jax.grad(loss_xla)(w1)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_readout_bwd_differentiates_the_tanh_forward():
+    """The kernel forward is tanh-GELU; its custom_vjp must differentiate the
+    SAME (tanh) function, not exact erf — strict tolerance catches a mixed
+    fwd/bwd pair that the looser kernel-vs-kernel tests would mask."""
+    from diffusesg_tpu.ops import readout_kernel as rok
+
+    rs = np.random.RandomState(3)
+    n, c, hidden, out = 64, 96, 256, 5
+    x = jnp.asarray(rs.randn(n, c), jnp.float32)
+    w1 = jnp.asarray(rs.randn(c, hidden) * c ** -0.5, jnp.float32)
+    b1 = jnp.asarray(rs.randn(hidden) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rs.randn(hidden, out) * hidden ** -0.5, jnp.float32)
+    b2 = jnp.asarray(rs.randn(out) * 0.01, jnp.float32)
+
+    def loss_fused(w1_):
+        return jnp.sum(rok.fused_readout_mlp(x, w1_, b1, w2, b2) ** 2)
+
+    def loss_tanh(w1_):
+        return jnp.sum(rok.readout_mlp_xla(x, w1_, b1, w2, b2,
+                                           approximate=True) ** 2)
+
+    def loss_erf(w1_):
+        return jnp.sum(rok.readout_mlp_xla(x, w1_, b1, w2, b2,
+                                           approximate=False) ** 2)
+
+    rok.INTERPRET = True
+    try:
+        gf = jax.grad(loss_fused)(w1)
+    finally:
+        rok.INTERPRET = False
+    gt = jax.grad(loss_tanh)(w1)
+    ge = jax.grad(loss_erf)(w1)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gt),
+                               rtol=1e-5, atol=1e-6)
+    # sanity: erf and tanh grads genuinely differ at this tolerance,
+    # so the assert above is discriminating
+    assert np.abs(np.asarray(gt) - np.asarray(ge)).max() > 1e-5
+
+
+def test_swin_full_block_bwd_differentiates_the_tanh_forward():
+    """fused_swin_block's vjp goes through swin_block_xla; it must pick the
+    tanh MLP half whenever the kernel (tanh) produced the forward value."""
+    from diffusesg_tpu.ops import swin_full_block as sfb
+
+    rs = np.random.RandomState(5)
+    b, h, w, c, nh, window = 1, 8, 8, 32, 2, 4
+    hidden = 4 * c
+    L = window * window
+    x = jnp.asarray(rs.randn(b, h, w, c), jnp.float32)
+    ss = jnp.asarray(rs.randn(b, 2 * c) * 0.1, jnp.float32)
+    ln1_g = jnp.ones(c); ln1_b = jnp.zeros(c)
+    wqkv = jnp.asarray(rs.randn(c, 3 * c) * c ** -0.5, jnp.float32)
+    bqkv = jnp.zeros(3 * c)
+    wproj = jnp.asarray(rs.randn(c, c) * c ** -0.5, jnp.float32)
+    bproj = jnp.zeros(c)
+    rel = jnp.asarray(rs.randn(nh, L, L) * 0.02, jnp.float32)
+    ln2_g = jnp.ones(c); ln2_b = jnp.zeros(c)
+    w1 = jnp.asarray(rs.randn(c, hidden) * c ** -0.5, jnp.float32)
+    b1 = jnp.zeros(hidden)
+    w2 = jnp.asarray(rs.randn(hidden, c) * hidden ** -0.5, jnp.float32)
+    b2 = jnp.zeros(c)
+
+    def loss_fused(w1_):
+        return jnp.sum(sfb.fused_swin_block(
+            x, ss, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj, rel, None,
+            ln2_g, ln2_b, w1_, b1, w2, b2, nh, window) ** 2)
+
+    def loss_tanh(w1_):
+        return jnp.sum(sfb.swin_block_xla(
+            x, ss, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj, rel, None,
+            ln2_g, ln2_b, w1_, b1, w2, b2, nh, window,
+            approximate=True) ** 2)
+
+    sfb.INTERPRET = True
+    mlpk.INTERPRET = True
+    try:
+        gf = jax.grad(loss_fused)(w1)
+    finally:
+        sfb.INTERPRET = False
+        mlpk.INTERPRET = False
+    gt = jax.grad(loss_tanh)(w1)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gt),
+                               rtol=1e-4, atol=1e-5)

@@ -5,9 +5,19 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from diffusesg_tpu.ops import window_attention as wa
 from diffusesg_tpu.ops.window_attention import (
     fused_window_attention_qkhd, _attention_xla,
 )
+
+
+@pytest.fixture(autouse=True)
+def _force_kernel_interpret():
+    """Off-TPU the op now falls back to XLA; force the kernel (interpret
+    mode) so these tests exercise the kernel itself."""
+    wa.INTERPRET = True
+    yield
+    wa.INTERPRET = False
 
 
 def _inputs(rs, nwb=16, nh=3, L=64, hd=32, with_mask=True, nw=8):
