@@ -9,6 +9,7 @@ of DistributedSampler.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Iterator
 
 import jax
@@ -33,6 +34,14 @@ class Batches:
     repeat_to_batch: bool = True
     process_index: int = 0
     process_count: int = 1
+    # assemble batches in the C++ worker-thread engine (data/native);
+    # identical output, gathered ahead of consumption off the GIL.  None =
+    # auto: on when the host has a spare core to overlap into (measured: on
+    # a 1-core host the worker thread only steals consumer cycles, ~0.95x;
+    # with spare cores the gather is fully hidden).  Falls back to the
+    # numpy gather when the library is unavailable (DSG_NATIVE_LOADER=0
+    # disables).
+    native: bool | None = None
 
     def __post_init__(self):
         self._epoch = 0
@@ -64,6 +73,28 @@ class Batches:
         if n < bs and self.repeat_to_batch and n > 0 and bs % n == 0:
             idx = np.tile(idx, bs // n)
             n = len(idx)
+        use_native = self.native
+        if use_native is None:
+            use_native = (os.cpu_count() or 1) > 1
+        if use_native:
+            from .native import get_lib, iter_batches_native
+            if get_lib() is not None:
+                # same permutation through the C++ gather engine: batches are
+                # identical to the numpy path by construction, assembled by
+                # GIL-free worker threads a few batches ahead.  Host-side
+                # contiguous conversion is cached: for the normal numpy
+                # arrays it is a no-op view, but doing it per epoch would
+                # re-fetch device-backed arrays every time
+                if not hasattr(self, "_native_arrays"):
+                    self._native_arrays = [
+                        np.ascontiguousarray(np.asarray(a))
+                        for a in (self.data.adjs, self.data.nodes,
+                                  self.data.node_flags, self.data.image_ids)]
+                arrays = self._native_arrays
+                if self.drop_remainder:
+                    idx = idx[: (n // bs) * bs]
+                yield from iter_batches_native(arrays, idx, bs)
+                return
         for start in range(0, n, bs):
             sel = idx[start:start + bs]
             if self.drop_remainder and len(sel) < bs:

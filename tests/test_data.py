@@ -221,3 +221,34 @@ def test_shard_for_process_equal_lengths():
     got = np.concatenate([s.image_ids[: (13 // 4 + (1 if p < 13 % 4 else 0))]
                           for p, s in enumerate(shards)])
     assert sorted(got.tolist()) == sorted(data.image_ids.tolist())
+
+
+def test_native_batcher_matches_numpy_path():
+    """The C++ batch-assembly engine (data/native) must yield bit-identical
+    batches to the numpy gather for the same seed/epoch/shard settings —
+    including shuffling, per-host sharding, and a ragged final batch."""
+    import pytest
+
+    from diffusesg_tpu.data.native import get_lib
+    if get_lib() is None:
+        pytest.skip("native batcher unavailable (no g++)")
+    from diffusesg_tpu.data.synthetic import synthetic_scene_graphs
+    from diffusesg_tpu.data.dataset import build_tensors
+
+    data = build_tensors(synthetic_scene_graphs(45, 9, 20, 5, seed=7),
+                         max_node_num=9, num_node_attr_type=20,
+                         num_edge_attr_type=5, node_encoding="ddpm",
+                         edge_encoding="ddpm")
+    for kw in [dict(), dict(process_index=1, process_count=2),
+               dict(drop_remainder=True), dict(shuffle=False)]:
+        nat = Batches(data, 8, seed=11, native=True, **kw)
+        ref = Batches(data, 8, seed=11, native=False, **kw)
+        for epoch in (0, 1):
+            nat.set_epoch(epoch)
+            ref.set_epoch(epoch)
+            got, exp = list(nat), list(ref)
+            assert len(got) == len(exp) and len(got) == len(nat)
+            for gb, eb in zip(got, exp):
+                for g, e in zip(gb, eb):
+                    assert g.dtype == e.dtype
+                    np.testing.assert_array_equal(np.asarray(g), np.asarray(e))
