@@ -43,7 +43,19 @@ def main(argv=None):
     params = init_params(model, config, jax.random.PRNGKey(config.seed))
     logging.info("model parameters: %s", f"{count_params(params):,}")
 
-    steps_per_epoch = max(1, len(bundle.train) // max(1, config.train.batch_size))
+    # steps the schedule counts per epoch must equal the steps the loop RUNS
+    # per epoch: each host iterates its own ceil(n/P)-row shard in per-host
+    # batches (the same split the trainer makes), with a repeat-padded (not
+    # dropped) final partial batch — floor(n/global_bs) would decay the
+    # per-epoch exponential LR too slowly on multi-host and with ragged
+    # datasets (reference: one scheduler.step() per epoch,
+    # trainer_node_adj.py:233)
+    from ..parallel.mesh import make_mesh, per_host_batch_size
+    mesh_size = make_mesh(
+        config.tpu.get("num_devices", 0) if "tpu" in config else 0).size
+    host_bs = per_host_batch_size(config.train.batch_size, mesh_size)
+    per_host_rows = -(-len(bundle.train) // max(1, jax.process_count()))
+    steps_per_epoch = max(1, -(-per_host_rows // host_bs))
     optimizer = make_optimizer(config.train.lr_init, config.train.lr_dacey,
                                steps_per_epoch, config.train.weight_decay)
     state = create_train_state(params, list(config.train.ema_coef), optimizer)

@@ -63,7 +63,7 @@ class SceneGraphEvaluator:
         node_types = np.asarray(node_types)
         allowed = list(allowed_triplet)
         allowed_index = {t: i for i, t in enumerate(allowed)}
-        hists, novel_counters = [], []
+        hists = []
         max_novel = 0
         for adj, types in zip(edge_types, node_types):
             src, dst = np.nonzero(adj)
@@ -84,7 +84,6 @@ class SceneGraphEvaluator:
                 h = np.concatenate([overlap, np.asarray(novel, np.float64)])
             if h.sum() > 0:
                 hists.append(h)
-                novel_counters.append(len(novel))
         if not reject_novel_triplet:
             pad_len = len(allowed) + max_novel
             hists = [np.concatenate([h, np.zeros(pad_len - len(h))]) for h in hists]

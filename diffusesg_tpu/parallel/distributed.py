@@ -50,6 +50,37 @@ def detect_rendezvous() -> dict | None:
     return None
 
 
+def _warmup_collectives() -> None:
+    """Establish the cross-process collective context at init time.
+
+    The communicator clique over all global devices is created lazily by the
+    FIRST collective dispatch, under a short rendezvous deadline (30 s for
+    XLA's CPU Gloo backend).  If hosts reach their first real collective at
+    very different times — one host hits a warm compilation cache while
+    another compiles the train step from scratch — that deadline trips and
+    the job dies with "Gloo context initialization failed".  Dispatching one
+    tiny all-reduce here, when every process is at the same (post-initialize)
+    point, performs the rendezvous while the skew is milliseconds; later
+    collectives reuse the established clique and simply wait.  The reference
+    has the same pattern implicitly: init_process_group builds the NCCL
+    communicator up front (dist_training.py:100-126)."""
+    try:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        # NB: sync_global_devices is a coordination-SERVICE barrier in
+        # current jax (no device collective), so it would not build the
+        # communicator; process_allgather dispatches a real all-gather
+        # over every global device
+        out = multihost_utils.process_allgather(
+            np.asarray([jax.process_index()], np.int32))
+        assert len(out.ravel()) == jax.process_count()
+        logging.info("collective warm-up all-gather complete")
+    except Exception as e:  # never fail init over a warm-up
+        logging.warning("collective warm-up failed (%s); first real "
+                        "collective will pay the rendezvous", e)
+
+
 def maybe_initialize_distributed(force: bool = False) -> bool:
     """Initialize jax.distributed once per process if configured.
 
@@ -65,6 +96,21 @@ def maybe_initialize_distributed(force: bool = False) -> bool:
     rdv = detect_rendezvous()
     if rdv is None and not force:
         return False
+    # CPU backend: XLA's Gloo collectives time out their store rendezvous
+    # after 30 s by default — each compiled program's FIRST collective pays
+    # this, and compile-time skew between hosts (one hits a warm persistent
+    # cache, another compiles for minutes) easily exceeds it.  Raise it
+    # before backend init; the flag is CPU-only so gate on the configured
+    # platform (TPU ICI collectives have their own launch timeouts).
+    try:
+        plats = jax.config.jax_platforms or ""
+    except AttributeError:  # very old jax: leave flags alone
+        plats = ""
+    if "cpu" in plats:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_cpu_collective_timeout_seconds" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_cpu_collective_timeout_seconds=600").strip()
     try:
         if rdv is not None:
             jax.distributed.initialize(**rdv)
@@ -73,6 +119,8 @@ def maybe_initialize_distributed(force: bool = False) -> bool:
         _INITIALIZED = True
         logging.info("jax.distributed initialized: process %d / %d",
                      jax.process_index(), jax.process_count())
+        if jax.process_count() > 1:
+            _warmup_collectives()
     except Exception as e:
         if rdv is not None:
             # The user EXPLICITLY configured a multi-host rendezvous.

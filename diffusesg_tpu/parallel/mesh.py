@@ -35,6 +35,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def per_host_batch_size(global_batch: int, mesh_size: int) -> int:
+    """Rows each host feeds per step for a configured GLOBAL batch.
+
+    Reference DDP semantics: train.batch_size is the global batch and every
+    rank loads batch_size // world_size rows (dataloader.py:24-33).  The
+    per-host share is then padded down/up to local-device divisibility so
+    the assembled global array shards evenly over the mesh."""
+    n_proc = jax.process_count()
+    local_devs = max(1, mesh_size // n_proc)
+    per_host = max(1, global_batch // n_proc)
+    return max(local_devs, (per_host // local_devs) * local_devs)
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 1, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) axis across the mesh."""
     return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))

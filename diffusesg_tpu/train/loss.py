@@ -77,7 +77,13 @@ def bbox_iou_aux_loss(pred_node, target_node, node_flags, weights,
 
     Note: the reference normalizes each sample's loss by the TOTAL number of
     valid nodes across the batch (node_flags.view(-1).sum()), not per-sample;
-    reproduced as-is for loss-value parity.
+    reproduced as-is for loss-value parity.  Consequence under parallelism
+    (inherited from the reference, whose objective also changes with world
+    size): gspmd sees the GLOBAL batch here (single-GPU semantics), while
+    shard_map normalizes per shard and pmeans the grads — exactly reference
+    DDP, where each rank divides by its local batch total.  The two agree
+    when per-shard valid-node counts are equal, and differ only at
+    second order otherwise.
 
     @return [B] loss already multiplied by the EDM weights.
     """

@@ -43,8 +43,12 @@ def make_optimizer(lr_init: float, lr_decay: float, steps_per_epoch: int,
 
     opt = optax.adam(learning_rate=lr_schedule, b1=0.9, b2=0.999, eps=1e-8)
     if weight_decay > 0.0:
-        opt = optax.adamw(learning_rate=lr_schedule, b1=0.9, b2=0.999, eps=1e-8,
-                          weight_decay=weight_decay)
+        # torch.optim.Adam COUPLES the L2 term into the gradient before the
+        # adaptive moments (grad' = grad + wd*p); decoupled AdamW would train
+        # a different objective.  Order matches the reference runtime:
+        # clip_grad_norm_ on the raw grads, then step() adds wd inside Adam
+        # (trainer_node_adj.py:174, learning_utils.py:137-140).
+        opt = optax.chain(optax.add_decayed_weights(weight_decay), opt)
     return optax.chain(optax.clip_by_global_norm(max_grad_norm), opt)
 
 

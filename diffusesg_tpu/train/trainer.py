@@ -42,7 +42,8 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
     restores the newest checkpoint, preempt included.
     """
     # imported here to avoid a train <-> parallel circular import
-    from ..parallel.mesh import is_main_process, make_mesh, shard_batch, sync_hosts
+    from ..parallel.mesh import (is_main_process, make_mesh,
+                                 per_host_batch_size, shard_batch, sync_hosts)
     from ..parallel.sharded_step import (
         make_sharded_eval_step, make_sharded_train_step, shard_train_state,
     )
@@ -50,8 +51,10 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
     mesh = make_mesh(config.tpu.get("num_devices", 0) if "tpu" in config else 0)
     logging.info("training on %d device(s), %d host(s)", mesh.size, jax.process_count())
 
-    # pad/trim the global batch to something divisible by the mesh
-    batch_size = max(mesh.size, (config.train.batch_size // mesh.size) * mesh.size)
+    # config.train.batch_size is the GLOBAL batch (reference DDP splits it
+    # per rank, dataloader.py:24-33); each host feeds its share, padded to
+    # local-device divisibility
+    batch_size = per_host_batch_size(config.train.batch_size, mesh.size)
     train_batches = Batches(bundle.train, batch_size, shuffle=True, seed=config.seed,
                             process_index=jax.process_index(),
                             process_count=jax.process_count())
@@ -91,7 +94,10 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
     # (GSPMD) / shard_map programs, so every host must pass the SAME value —
     # noise decorrelation comes from the global batch shard (GSPMD) or the
     # per-device fold_in(axis_index) (shard_map), not from the key.
-    rng = jax.random.PRNGKey(config.seed + 1000)
+    # start_epoch folds in so a resumed run draws a DISJOINT sigma/noise
+    # stream instead of replaying the epochs consumed before preemption.
+    rng = jax.random.fold_in(jax.random.PRNGKey(config.seed + 1000),
+                             start_epoch)
 
     # device_get with multi-host-aware gathering of non-addressable leaves
     from ..parallel.mesh import fetch_to_host as _fetch_metrics
@@ -156,7 +162,6 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
 
             fetched = _fetch_metrics(ep_metrics)  # single blocking transfer
             dt = time.time() - t0
-            n_steps = len(fetched)
             ep_loss_a = float(np.mean([m["loss_adj"] for m in fetched])) if fetched else 0.0
             ep_loss_x = float(np.mean([m["loss_node"] for m in fetched])) if fetched else 0.0
             if is_main_process():
@@ -192,24 +197,44 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
                 test_params = ema_slice(state.ema_params, 0)  # smallest beta
                 test_metrics = []
                 for adjs, nodes, flags, _ids in test_batches:
-                    (adjs, nodes, flags), _ = _pad_batch((adjs, nodes, flags))
+                    (adjs, nodes, flags), n_real = _pad_batch((adjs, nodes, flags))
                     batch = shard_batch((adjs, nodes, flags), mesh)
                     rng, sub = jax.random.split(rng)
-                    test_metrics.append(jit_eval(test_params, sub, *batch))
-                test_metrics = _fetch_metrics(test_metrics)
-                m = len(test_metrics)
-                te_loss_a = float(np.sum([t["loss_adj"] for t in test_metrics]))
-                te_loss_x = float(np.sum([t["loss_node"] for t in test_metrics]))
-                if is_main_process():
-                    for t in test_metrics:
-                        loss_txt.write("test", epoch, t["sigmas"],
-                                       t["loss_adj_per_sample"],
-                                       t["loss_node_per_sample"])
-                te_loss = (te_loss_a + te_loss_x) / max(m, 1)
+                    test_metrics.append((jit_eval(test_params, sub, *batch),
+                                         n_real))
+                fetched = _fetch_metrics([t for t, _ in test_metrics])
+
+                def _trim_pads(v, n_real):
+                    """Drop the repeat-pad rows of a gathered per-sample
+                    array: every host padded its LOCAL tail from n_real to
+                    the full local batch (shards are equal length, so n_real
+                    agrees across hosts), and shard_batch concatenated the
+                    host slices — the reference's test mean covers exactly
+                    the dataset, with no duplicate rows."""
+                    v = np.asarray(v)
+                    n_proc = jax.process_count()
+                    if n_proc > 1:
+                        return v.reshape((n_proc, -1) + v.shape[1:])[:, :n_real].reshape(
+                            (-1,) + v.shape[1:])
+                    return v[:n_real]
+
+                sums_a, sums_x, count = 0.0, 0.0, 0
+                for (t, n_real) in zip(fetched, (n for _, n in test_metrics)):
+                    la = _trim_pads(t["loss_adj_per_sample"], n_real)
+                    lx = _trim_pads(t["loss_node_per_sample"], n_real)
+                    sums_a += float(np.sum(la))
+                    sums_x += float(np.sum(lx))
+                    count += len(la)
+                    if is_main_process():
+                        loss_txt.write("test", epoch,
+                                       _trim_pads(t["sigmas"], n_real), la, lx)
+                te_loss_a = sums_a / max(count, 1)
+                te_loss_x = sums_x / max(count, 1)
+                te_loss = te_loss_a + te_loss_x
                 logging.info("epoch %05d | test loss %.6f", epoch, te_loss)
                 if writer is not None:
-                    writer.add_scalar("test_epoch/regression_loss_adj", te_loss_a / max(m, 1), epoch)
-                    writer.add_scalar("test_epoch/regression_loss_node", te_loss_x / max(m, 1), epoch)
+                    writer.add_scalar("test_epoch/regression_loss_adj", te_loss_a, epoch)
+                    writer.add_scalar("test_epoch/regression_loss_node", te_loss_x, epoch)
 
                 # every process joins: the ZeRO-1 leaf gather and orbax's save
                 # barriers are collectives (orbax does the rank-0 write gating).
@@ -247,13 +272,17 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
                                sampling_params=sampling_params, writer=writer)
     finally:
         _restore_handlers()
+        # capture BEFORE the try below: inside its except clause,
+        # sys.exc_info() would refer to the drain exception itself and the
+        # normal-path re-raise would be unreachable
+        unwinding = sys.exc_info()[0] is not None
         try:
             wait_for_async_saves()  # drain any in-flight checkpoint write
         except Exception:
             # on the normal path a failed background commit must fail the
             # run (the checkpoint on disk is bad); during an exception
             # unwind it must NOT replace the original training error
-            if sys.exc_info()[0] is None:
+            if not unwinding:
                 loss_txt.close()
                 raise
             logging.exception("async checkpoint drain failed during unwind")

@@ -199,7 +199,11 @@ def test_preemption_checkpoint_and_run_dir_resume(tiny_cfg_file, tmp_path):
     with open(tiny_cfg_file) as f:
         raw = _yaml.safe_load(f)
     raw["exp_dir"] = str(tmp_path / "exp_pre")
-    raw["train"]["max_epoch"] = 60      # long enough to be interrupted
+    # long enough that the run CANNOT finish before the poll below sees it
+    # and SIGTERMs it — with a warm persistent XLA cache epochs take ~50 ms,
+    # so 60 epochs would complete inside one poll interval (a race this test
+    # lost twice before the bump)
+    raw["train"]["max_epoch"] = 5000
     raw["train"]["save_interval"] = 1000  # no periodic ckpts: preempt only
     raw["train"]["sample_interval"] = 1000
     cfg = tmp_path / "pre.yaml"
@@ -219,11 +223,25 @@ def test_preemption_checkpoint_and_run_dir_resume(tiny_cfg_file, tmp_path):
         "print('TRAIN_EXITED_CLEANLY')\n")
     env = {k: v for k, v in os.environ.items()
            if k not in ("PYTHONPATH", "JAX_PLATFORMS")}
+    # child output goes to a FILE, not a PIPE: XLA can emit >64 KB of
+    # warnings (e.g. persistent-cache AOT feature-mismatch notes) before
+    # training starts, and an undrained pipe would deadlock the child in
+    # write() while this test polls for progress that never comes
+    child_log = open(tmp_path / "pre_child.log", "w+")
     proc = subprocess.Popen([sys.executable, "-c", driver], env=env,
-                            cwd=os.getcwd(), stdout=subprocess.PIPE,
+                            cwd=os.getcwd(), stdout=child_log,
                             stderr=subprocess.STDOUT, text=True)
-    # wait until some training happened (first scalars written), then TERM
-    deadline = _time.time() + 420
+
+    def _child_out():
+        child_log.flush()
+        child_log.seek(0)
+        return child_log.read()
+    # wait until some training happened (first scalars written), then TERM.
+    # Generous deadline: on a loaded 1-core host the child's first compile
+    # alone can take many minutes (measured 44 s in isolation, >15 min with
+    # concurrent suites on this box); the loop exits as soon as the first
+    # epoch lands, so the deadline only bounds the pathological case
+    deadline = _time.time() + 1800
     run_dir = None
     while _time.time() < deadline:
         runs = glob.glob(str(tmp_path / "exp_pre" / "*" / "*" / "scalars.jsonl"))
@@ -232,10 +250,13 @@ def test_preemption_checkpoint_and_run_dir_resume(tiny_cfg_file, tmp_path):
             break
         if proc.poll() is not None:
             break
-        _time.sleep(2)
-    assert run_dir, f"training never started:\n{proc.stdout.read()[-3000:]}"
+        _time.sleep(0.25)
+    if not run_dir:
+        proc.kill()  # don't leak a 5000-epoch child
+        assert False, f"training never started:\n{_child_out()[-3000:]}"
     proc.send_signal(signal.SIGTERM)
-    out, _ = proc.communicate(timeout=300)
+    proc.wait(timeout=300)
+    out = _child_out()
     assert proc.returncode == 0, f"not a clean exit:\n{out[-3000:]}"
     assert "TRAIN_EXITED_CLEANLY" in out
     pre = os.path.join(run_dir, "models_ckpt", "preempt")

@@ -17,6 +17,37 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = os.path.join(REPO, "tests", "helpers", "dist_child.py")
 
 
+def _run_children(cmds_envs, tmpdir, timeout):
+    """Spawn children with output to FILES (a PIPE would deadlock: one child
+    blocked writing >64 KB of XLA warnings into an undrained pipe stalls the
+    other child's collectives past the 30 s Gloo rendezvous deadline), wait
+    for all, return their outputs."""
+    import time as _t
+
+    os.makedirs(tmpdir, exist_ok=True)
+    procs, logs = [], []
+    for i, (cmd, env) in enumerate(cmds_envs):
+        f = open(os.path.join(tmpdir, f"dist_child_{i}.log"), "w+")
+        logs.append(f)
+        procs.append(subprocess.Popen(cmd, env=env, cwd=REPO,
+                                      stdout=f, stderr=subprocess.STDOUT,
+                                      text=True))
+    deadline = _t.time() + timeout
+    for p in procs:
+        try:
+            p.wait(timeout=max(1, deadline - _t.time()))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed child timed out")
+    outs = []
+    for f in logs:
+        f.flush(); f.seek(0)
+        outs.append(f.read())
+        f.close()
+    return procs, outs
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -25,28 +56,18 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_gather_and_barrier():
+def test_two_process_gather_and_barrier(tmp_path):
     port = _free_port()
-    procs = []
     env_base = {k: v for k, v in os.environ.items()
                 if k not in ("PYTHONPATH", "JAX_PLATFORMS")}
+    cmds = []
     for pid in range(2):
         env = dict(env_base,
                    DSG_COORDINATOR=f"127.0.0.1:{port}",
                    DSG_NUM_PROCESSES="2",
                    DSG_PROCESS_ID=str(pid))
-        procs.append(subprocess.Popen(
-            [sys.executable, CHILD], env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=150)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("distributed child timed out")
-        outs.append(out)
+        cmds.append(([sys.executable, CHILD], env))
+    procs, outs = _run_children(cmds, str(tmp_path), timeout=300)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"child {pid} failed:\n{out}"
         assert f"CHILD_OK {pid}" in out, out
@@ -88,9 +109,9 @@ def test_two_process_training_e2e(tmp_path, spmd_mode):
     port = _free_port()
     child = os.path.join(REPO, "tests", "helpers", "dist_train_child.py")
     exp_dir = str(tmp_path / "exp_mh")
-    procs = []
     env_base = {k: v for k, v in os.environ.items()
                 if k not in ("PYTHONPATH", "JAX_PLATFORMS")}
+    cmds = []
     for pid in range(2):
         env = dict(env_base,
                    DSG_COORDINATOR=f"127.0.0.1:{port}",
@@ -98,18 +119,8 @@ def test_two_process_training_e2e(tmp_path, spmd_mode):
                    DSG_PROCESS_ID=str(pid),
                    DSG_TEST_EXP_DIR=exp_dir,
                    DSG_TEST_SPMD=spmd_mode)
-        procs.append(subprocess.Popen(
-            [sys.executable, child], env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("distributed train child timed out")
-        outs.append(out)
+        cmds.append(([sys.executable, child], env))
+    procs, outs = _run_children(cmds, exp_dir, timeout=900)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"train child {pid} failed:\n{out[-4000:]}"
         assert f"TRAIN_CHILD_OK {pid}" in out, out[-2000:]

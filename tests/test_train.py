@@ -3,6 +3,7 @@ overfit convergence check, the reference's --subset recipe as a test)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
 from diffusesg_tpu.train import (
@@ -194,3 +195,42 @@ def test_async_checkpoint_roundtrip(tmp_path):
                                       np.arange(12.0).reshape(3, 4))
         np.testing.assert_allclose(np.asarray(got["ema_betas"]),
                                    [0.9, 0.999], rtol=1e-6)
+
+
+def test_weight_decay_is_coupled_like_torch_adam():
+    """train.weight_decay must reproduce torch.optim.Adam's COUPLED L2
+    (grad + wd*p fed into the moments, learning_utils.py:137-140), not
+    decoupled AdamW."""
+    import torch
+
+    from diffusesg_tpu.train.train_state import make_optimizer
+
+    rs = np.random.RandomState(0)
+    p0 = rs.randn(7, 5).astype(np.float32)
+    grads = [rs.randn(7, 5).astype(np.float32) * 0.1 for _ in range(5)]
+    wd, lr = 0.1, 1e-2
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    topt = torch.optim.Adam([tp], lr=lr, betas=(0.9, 0.999), eps=1e-8,
+                            weight_decay=wd)
+    for g in grads:
+        tp.grad = torch.tensor(g)
+        topt.step()
+
+    opt = make_optimizer(lr, 1.0, 10, weight_decay=wd, max_grad_norm=1e9)
+    params = {"w": jnp.asarray(p0)}
+    state = opt.init(params)
+    for g in grads:
+        upd, state = opt.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tp.detach().numpy(), rtol=2e-5, atol=2e-6)
+
+
+def test_per_host_batch_size_reference_ddp_split():
+    from diffusesg_tpu.parallel.mesh import per_host_batch_size
+
+    # single host: global batch padded down to device divisibility
+    assert per_host_batch_size(64, 8) == 64
+    assert per_host_batch_size(66, 8) == 64
+    assert per_host_batch_size(4, 8) == 8  # at least one row per device
