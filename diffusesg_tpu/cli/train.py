@@ -50,12 +50,17 @@ def main(argv=None):
     # per-epoch exponential LR too slowly on multi-host and with ragged
     # datasets (reference: one scheduler.step() per epoch,
     # trainer_node_adj.py:233)
+    from ..data.loader import Batches
     from ..parallel.mesh import make_mesh, per_host_batch_size
     mesh_size = make_mesh(
         config.tpu.get("num_devices", 0) if "tpu" in config else 0).size
     host_bs = per_host_batch_size(config.train.batch_size, mesh_size)
-    per_host_rows = -(-len(bundle.train) // max(1, jax.process_count()))
-    steps_per_epoch = max(1, -(-per_host_rows // host_bs))
+    # len(Batches) is the AUTHORITATIVE per-epoch step count (shard +
+    # repeat-to-fill semantics live in one place, the loader the trainer
+    # actually iterates)
+    steps_per_epoch = max(1, len(Batches(
+        bundle.train, host_bs, process_index=jax.process_index(),
+        process_count=jax.process_count())))
     optimizer = make_optimizer(config.train.lr_init, config.train.lr_dacey,
                                steps_per_epoch, config.train.weight_decay)
     state = create_train_state(params, list(config.train.ema_coef), optimizer)

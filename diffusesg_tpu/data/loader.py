@@ -75,7 +75,13 @@ class Batches:
             n = len(idx)
         use_native = self.native
         if use_native is None:
-            use_native = (os.cpu_count() or 1) > 1
+            # AVAILABLE cpus, not host cores: a cgroup-limited container on a
+            # 64-core host must not enable the measured-slower 1-cpu path
+            try:
+                avail = len(os.sched_getaffinity(0))
+            except AttributeError:  # non-Linux
+                avail = os.cpu_count() or 1
+            use_native = avail > 1
         if use_native:
             from .native import get_lib, iter_batches_native
             if get_lib() is not None:

@@ -18,27 +18,16 @@ Disable with DSG_NATIVE_LOADER=0.
 from __future__ import annotations
 
 import ctypes
-import logging
 import os
-import subprocess
 
 import numpy as np
+
+from ...utils.native_build import load_native_lib
 
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "batcher.cc")
 _SO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_batcher.so")
 _LIB = None
 _TRIED = False
-
-
-def _build() -> bool:
-    try:
-        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                        "-pthread", _SRC, "-o", _SO],
-                       check=True, capture_output=True)
-        return True
-    except Exception as e:  # no compiler / sandboxed build: fall back
-        logging.info("native batcher build unavailable (%s); using numpy", e)
-        return False
 
 
 def get_lib():
@@ -49,26 +38,22 @@ def get_lib():
     _TRIED = True
     if os.environ.get("DSG_NATIVE_LOADER", "1") == "0":
         return None
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        if not _build():
-            return None
-    try:
-        lib = ctypes.CDLL(_SO)
-        lib.batcher_create.restype = ctypes.c_void_p
-        lib.batcher_create.argtypes = [
-            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int, ctypes.c_int,
-        ]
-        lib.batcher_next.restype = ctypes.c_int64
-        lib.batcher_next.argtypes = [ctypes.c_void_p,
-                                     ctypes.POINTER(ctypes.c_void_p)]
-        lib.batcher_destroy.restype = None
-        lib.batcher_destroy.argtypes = [ctypes.c_void_p]
-        _LIB = lib
-    except OSError as e:
-        logging.info("native batcher load failed (%s); using numpy", e)
+    lib = load_native_lib(_SRC, _SO, extra_flags=("-pthread",))
+    if lib is None:
+        return None
+    lib.batcher_create.restype = ctypes.c_void_p
+    lib.batcher_create.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.batcher_next.restype = ctypes.c_int64
+    lib.batcher_next.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_void_p)]
+    lib.batcher_destroy.restype = None
+    lib.batcher_destroy.argtypes = [ctypes.c_void_p]
+    _LIB = lib
     return _LIB
 
 
@@ -86,6 +71,10 @@ def iter_batches_native(arrays: list[np.ndarray], perm: np.ndarray,
     assert lib is not None, "caller must check get_lib() first"
     arrays = [np.ascontiguousarray(a) for a in arrays]
     perm = np.ascontiguousarray(perm, dtype=np.int64)
+    if len(perm) and (perm.min() < 0 or perm.max() >= arrays[0].shape[0]):
+        raise ValueError("permutation indexes outside the dataset: "
+                         f"[{perm.min()}, {perm.max()}] vs {arrays[0].shape[0]} "
+                         "rows (the C++ gather would read out of bounds)")
     n_arr = len(arrays)
     bases = (ctypes.c_void_p * n_arr)(
         *[a.ctypes.data_as(ctypes.c_void_p).value for a in arrays])
@@ -96,6 +85,8 @@ def iter_batches_native(arrays: list[np.ndarray], perm: np.ndarray,
         n_arr, bases, row_bytes, int(arrays[0].shape[0]),
         perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(perm),
         int(batch_size), int(depth), int(num_threads))
+    if not handle:
+        raise ValueError("native batcher rejected the permutation")
     try:
         while True:
             outs = [np.empty((batch_size,) + a.shape[1:], dtype=a.dtype)

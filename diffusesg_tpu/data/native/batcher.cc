@@ -93,6 +93,11 @@ void* batcher_create(int num_arrays, const void** bases,
                      const int64_t* row_bytes, int64_t num_rows,
                      const int64_t* perm, int64_t perm_len,
                      int64_t batch_size, int depth, int num_threads) {
+  // bounds-check the permutation against the SOURCE array length up front:
+  // a bad index would otherwise become a silent out-of-bounds memcpy in a
+  // worker thread
+  for (int64_t i = 0; i < perm_len; ++i)
+    if (perm[i] < 0 || perm[i] >= num_rows) return nullptr;
   auto* h = new Batcher();
   h->num_arrays = num_arrays;
   for (int a = 0; a < num_arrays; ++a) {
@@ -100,7 +105,6 @@ void* batcher_create(int num_arrays, const void** bases,
     h->row_bytes.push_back(row_bytes[a]);
   }
   h->num_rows = perm_len;  // rows addressed THROUGH the permutation
-  (void)num_rows;
   h->batch_size = batch_size;
   h->perm.assign(perm, perm + perm_len);
   h->num_batches = (perm_len + batch_size - 1) / batch_size;

@@ -13,24 +13,15 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
-import subprocess
 
 import numpy as np
+
+from ...utils.native_build import load_native_lib
 
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "voc_f1.cc")
 _SO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_voc_f1.so")
 _LIB = None
 _TRIED = False
-
-
-def _build() -> bool:
-    try:
-        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                        _SRC, "-o", _SO], check=True, capture_output=True)
-        return True
-    except Exception as e:  # no compiler / sandboxed build: fall back to numpy
-        logging.info("native voc_f1 build unavailable (%s); using numpy", e)
-        return False
 
 
 def get_lib():
@@ -39,11 +30,10 @@ def get_lib():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        if not _build():
-            return None
+    lib = load_native_lib(_SRC, _SO)
+    if lib is None:
+        return None
     try:
-        lib = ctypes.CDLL(_SO)
         lib.compute_f1_matrix.restype = None
         lib.compute_f1_matrix.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),

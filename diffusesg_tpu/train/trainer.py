@@ -256,6 +256,25 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
                     save_checkpoint(os.path.join(config.model_save_dir, "best"),
                                     state, extra={"epoch": epoch, "test_loss": te_loss},
                                     asynchronous=async_ckpt)
+                # a COMMITTED numeric checkpoint from this (possibly resumed)
+                # run supersedes any stale models_ckpt/preempt — drop it so
+                # discovery can never rank old preempt weights newest (a
+                # cp -r that refreshes mtimes in traversal order could).
+                # Gate on a FINALIZED save with epoch >= start_epoch: the
+                # current async save may still be committing, and numeric
+                # saves from BEFORE the preemption must not trigger this.
+                if is_main_process():
+                    pre = os.path.join(config.model_ckpt_dir, "preempt")
+                    if os.path.isdir(pre):
+                        from ..utils.checkpoint import (is_finalized_checkpoint,
+                                                        list_checkpoints)
+                        if any(os.path.basename(c).isdigit()
+                               and int(os.path.basename(c)) >= start_epoch
+                               and is_finalized_checkpoint(c)
+                               for c in list_checkpoints(config.model_ckpt_dir)):
+                            import shutil
+                            shutil.rmtree(pre, ignore_errors=True)
+                            logging.info("dropped superseded preempt checkpoint")
             sync_hosts(f"epoch_{epoch}")
 
             # in-training sampling with the largest-beta EMA
