@@ -139,7 +139,14 @@ class NodeAdjEDMSampler:
     rho: float = 7.0
     self_condition: bool = False
     symmetric_noise: bool = False
-    heun_reuse_xhat: bool = True  # reference quirk (edm.py:400-405)
+    # reference quirk (edm.py:400-405): the Heun correction's 2nd network
+    # eval reuses x_hat/t_hat instead of (x_prime, t_prime).  Consequence:
+    # without self-conditioning the 2nd eval's inputs are IDENTICAL to the
+    # Euler eval's, so the sampler reuses its result instead of paying a
+    # 2nd forward (halves evals/step for that config class; for the EDM
+    # linear/none schedule the whole correction then collapses to Euler —
+    # pinned down in tests/test_sampler.py).
+    heun_reuse_xhat: bool = True
 
     def __post_init__(self):
         # cache of jitted chunk runners (see _chunk_runner); a frozen
@@ -411,7 +418,15 @@ class NodeAdjEDMSampler:
                 sc_x2 = den_x if self.self_condition else sc_x
                 adjs_pr = adjs_hat + self.alpha * h * d_a
                 nodes_pr = nodes_hat + self.alpha * h * d_x
-                if self.heun_reuse_xhat:
+                if self.heun_reuse_xhat and not self.self_condition:
+                    # reference quirk + no self-conditioning: the 2nd eval's
+                    # inputs are BIT-IDENTICAL to the Euler eval's (same
+                    # x_hat/t_hat, same self-cond carry), so its network
+                    # forward is pure waste — reuse the result.  Halves the
+                    # evals/step for this config class; exact equality with
+                    # the unskipped program is tested.
+                    den_a2, den_x2 = den_a, den_x
+                elif self.heun_reuse_xhat:
                     # reference quirk: 2nd eval reuses x_hat/t_hat (edm.py:400-405)
                     den_a2, den_x2 = _denoise(adjs_hat, nodes_hat, inv_s_hat,
                                               sigma_hat, sc_a2, sc_x2)

@@ -134,11 +134,35 @@ def test_euler_vs_heun_differ(rng):
     def denoiser(adjs, nodes, sigmas, sc_a, sc_x):
         return jnp.tanh(adjs), jnp.tanh(nodes)
 
-    heun = _sampler(num_steps=8, solver="heun").sample(
+    # corrected Heun (2nd eval at x', t') genuinely differs from Euler;
+    # under the reference reuse-xhat quirk WITHOUT self-conditioning the
+    # two solvers coincide analytically (see the collapse test below)
+    heun = _sampler(num_steps=8, solver="heun", heun_reuse_xhat=False).sample(
         denoiser, rng, flags, num_node_chan=2, num_edge_chan=1)
     euler = _sampler(num_steps=8, solver="euler").sample(
         denoiser, rng, flags, num_node_chan=2, num_edge_chan=1)
     assert not np.allclose(np.asarray(heun[0]), np.asarray(euler[0]))
+
+
+def test_heun_reuse_xhat_without_selfcond_collapses_to_euler(rng):
+    """Reference-quirk consequence (edm.py:400-405): with the 2nd eval
+    reusing x_hat/t_hat and NO self-conditioning, its inputs equal the
+    Euler eval's, so den2 == den and (for the EDM linear/none schedule)
+    d2 == d analytically — Heun IS Euler.  The sampler exploits this by
+    skipping the 2nd network eval outright (halving evals/step for this
+    config class), which this test pins down as EXACT equality."""
+    flags = jnp.ones((2, 8), dtype=bool)
+
+    def denoiser(adjs, nodes, sigmas, sc_a, sc_x):
+        return jnp.tanh(adjs), jnp.tanh(nodes)
+
+    heun = _sampler(num_steps=8, solver="heun", heun_reuse_xhat=True,
+                    self_condition=False).sample(
+        denoiser, rng, flags, num_node_chan=2, num_edge_chan=1)
+    euler = _sampler(num_steps=8, solver="euler").sample(
+        denoiser, rng, flags, num_node_chan=2, num_edge_chan=1)
+    np.testing.assert_allclose(np.asarray(heun[0]), np.asarray(euler[0]),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_sampler_is_jittable(rng):
