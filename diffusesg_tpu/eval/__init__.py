@@ -5,7 +5,8 @@ from .mmd import (
 )
 from .graph_stats import (
     degree_histograms, degree_stats, clustering_stats, spectral_stats,
-    eval_graph_batch,
+    eval_graph_batch, adjs_to_graphs, is_lobster_graph,
+    eval_acc_lobster_graph, eval_acc_lobster_batch,
 )
 from .blt import (
     get_average_iou, get_perceptual_iou, get_overlap_index, get_alignment_loss,

@@ -89,6 +89,55 @@ def spectral_stats(adjs_ref, adjs_pred, kernel="gaussian_tv", sigma: float = 1.0
                        kernel=kernel, sigma=sigma)
 
 
+def adjs_to_graphs(adjs: np.ndarray) -> list:
+    """Adjacency batch -> networkx graphs, replicating the reference's
+    construction (reference: stats.py:180-194): undirected from the matrix,
+    self-loops removed, isolated nodes removed, empty graph -> one node."""
+    import networkx as nx
+    out = []
+    for adj in np.asarray(adjs):
+        g = nx.from_numpy_array(adj)
+        g.remove_edges_from(list(nx.selfloop_edges(g)))
+        g.remove_nodes_from(list(nx.isolates(g)))
+        if g.number_of_nodes() < 1:
+            g.add_node(1)
+        out.append(g)
+    return out
+
+
+def is_lobster_graph(nx_graph) -> bool:
+    """Lobster check: a tree that becomes a path after removing leaves twice
+    (reference: stats.py:212-239).  Operates on a copy (the reference mutates
+    its input, which is why eval_acc_lobster_graph deepcopies)."""
+    import copy
+
+    import networkx as nx
+    g = copy.deepcopy(nx_graph)
+    if not nx.is_tree(g):
+        return False
+    for _ in range(2):
+        leaves = [n for n, d in g.degree() if d == 1]
+        g.remove_nodes_from(leaves)
+    num_nodes = len(g.nodes())
+    sum_degree_one = sum(d for _, d in g.degree() if d == 1)
+    sum_degree_two = sum(d for _, d in g.degree() if d == 2)
+    if sum_degree_one == 2 and sum_degree_two == 2 * (num_nodes - 2):
+        return True
+    return sum_degree_one == 0 and sum_degree_two == 0
+
+
+def eval_acc_lobster_graph(graph_list) -> float:
+    """Fraction of graphs that are lobsters (reference: stats.py:197-210)."""
+    if not graph_list:
+        return 0.0
+    return sum(1 for g in graph_list if is_lobster_graph(g)) / float(len(graph_list))
+
+
+def eval_acc_lobster_batch(adjs: np.ndarray) -> float:
+    """Lobster accuracy straight from an adjacency batch."""
+    return eval_acc_lobster_graph(adjs_to_graphs(adjs))
+
+
 _METHODS = {"degree": degree_stats, "cluster": clustering_stats, "spectral": spectral_stats}
 
 

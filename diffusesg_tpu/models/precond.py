@@ -86,3 +86,53 @@ def precond_forward_train(denoiser_fn: DenoiserFn, precond: str, self_condition:
 def round_sigma(sigma):
     """Identity on arrays (reference: precond.py:112-114)."""
     return jnp.asarray(sigma)
+
+
+# ---------------------------------------------------------------------------
+# adj-only preconditioning (reference Precond, precond.py:9-57) — the
+# pure-graph path (no node modality); dead under every shipped config but a
+# reference component, kept for API completeness.
+
+# AdjDenoiserFn: (adj, node_flags, c_noise, self_cond) -> F_adj
+AdjDenoiserFn = Callable[..., jax.Array]
+
+
+def precond_forward_adj(denoiser_fn: AdjDenoiserFn, precond: str,
+                        adjs: jax.Array, node_flags: jax.Array,
+                        sigmas: jax.Array, self_cond=None):
+    """One adj-only preconditioned evaluation (reference: precond.py:22-53,
+    minus the stochastic self-cond branch).  The reference asserts output
+    symmetry (check_adjs_symmetry, precond.py:52); here masking alone is
+    applied — symmetry is the denoiser's contract, checked in tests."""
+    c_skip, c_out, c_in, c_noise = get_preconditioning_params(precond, sigmas)
+    F_a = denoiser_fn(_bshape(c_in, adjs) * adjs, node_flags, c_noise, self_cond)
+    D_a = _bshape(c_skip, adjs) * adjs + _bshape(c_out, adjs) * F_a.astype(jnp.float32)
+    return mask_adjs(D_a, node_flags)
+
+
+def precond_forward_train_adj(denoiser_fn: AdjDenoiserFn, precond: str,
+                              self_condition: bool, rng: jax.Array,
+                              adjs: jax.Array, node_flags: jax.Array,
+                              sigmas: jax.Array):
+    """Adj-only training forward with p=0.5 stochastic self-conditioning
+    (reference: precond.py:39-47).  NOTE the reference quirk at
+    precond.py:39: ``self_cond = None`` unconditionally discards any
+    caller-passed conditioning, so the signature takes none."""
+    if not self_condition:
+        return precond_forward_adj(denoiser_fn, precond, adjs, node_flags,
+                                   sigmas, None)
+
+    def _with_self_cond(_):
+        sc = precond_forward_adj(denoiser_fn, precond, adjs, node_flags,
+                                 sigmas, None)
+        sc = jax.lax.stop_gradient(sc)
+        return precond_forward_adj(denoiser_fn, precond, adjs, node_flags,
+                                   sigmas, sc)
+
+    def _without_self_cond(_):
+        return precond_forward_adj(denoiser_fn, precond, adjs, node_flags,
+                                   sigmas, jnp.zeros_like(adjs))
+
+    use_sc = jax.random.bernoulli(rng, 0.5)
+    return jax.lax.cond(use_sc, _with_self_cond, _without_self_cond,
+                        operand=None)

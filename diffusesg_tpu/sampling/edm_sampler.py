@@ -147,6 +147,17 @@ class NodeAdjEDMSampler:
     # linear/none schedule the whole correction then collapses to Euler —
     # pinned down in tests/test_sampler.py).
     heun_reuse_xhat: bool = True
+    # reference quirk (precond.py:90-98): NodeAdjPrecond's p=0.5 stochastic
+    # self-conditioning branch has NO training gate, and the reference eval
+    # path wraps the model with self_condition=True (learning_utils.py:71-75)
+    # — so reference SAMPLING randomly replaces the sampler's self-cond carry
+    # with a freshly refined estimate D(x, sc=D(x, sc=carry)) on half of all
+    # model calls (an np.random draw per call; ~1.5x evals, nondeterministic
+    # outputs for a fixed torch seed).  Defaults to 0.0 (off — our eval path
+    # is deterministic and cheaper); set to the reference's effective 0.5 (or
+    # 1.0 for deterministic tests) to reproduce the composed reference eval
+    # exactly.  Only meaningful with self_condition=True.
+    precond_self_cond_refresh_p: float = 0.0
 
     def __post_init__(self):
         # cache of jitted chunk runners (see _chunk_runner); a frozen
@@ -380,12 +391,30 @@ class NodeAdjEDMSampler:
         in the closure."""
         batch = node_flags.shape[0]
         has_inpaint = any(v is not None for v in ip)
+        refresh = (self.self_condition
+                   and self.precond_self_cond_refresh_p > 0.0)
 
-        def _denoise(adjs_hat, nodes_hat, inv_s_hat, sigma_hat, sc_a, sc_x):
+        def _denoise(adjs_hat, nodes_hat, inv_s_hat, sigma_hat, sc_a, sc_x,
+                     rng_refresh=None):
             sigma_vec = jnp.full((batch,), sigma_hat, jnp.float32)
-            D_a, D_x = denoiser_fn(adjs_hat * inv_s_hat, nodes_hat * inv_s_hat,
-                                   sigma_vec, sc_a, sc_x)
-            return mask_adjs(D_a, node_flags), mask_nodes(D_x, node_flags)
+
+            def call(sa, sx):
+                D_a, D_x = denoiser_fn(adjs_hat * inv_s_hat,
+                                       nodes_hat * inv_s_hat,
+                                       sigma_vec, sa, sx)
+                return mask_adjs(D_a, node_flags), mask_nodes(D_x, node_flags)
+
+            base = call(sc_a, sc_x)
+            if not refresh or rng_refresh is None:
+                return base
+            # reference NodeAdjPrecond's ungated stochastic self-cond branch
+            # (precond.py:90-98, see precond_self_cond_refresh_p): per model
+            # call, with probability p replace the carried self-cond with the
+            # base estimate and evaluate again
+            use = jax.random.bernoulli(rng_refresh,
+                                       self.precond_self_cond_refresh_p)
+            return jax.lax.cond(use, lambda _: call(base[0], base[1]),
+                                lambda _: base, operand=None)
 
         def step(carry, scan_in):
             adjs, nodes, sc_a, sc_x, rng, ia, ix = carry
@@ -394,6 +423,9 @@ class NodeAdjEDMSampler:
              sigma_hat, inv_s_hat, is_heun, sigma_prime, inv_s_prime) = [
                 row[k] for k in range(12)]
             rng, k1, k2 = jax.random.split(rng, 3)
+            k3 = k4 = None
+            if refresh:  # one np.random-analogue draw per model call
+                rng, k3, k4 = jax.random.split(rng, 3)
 
             # churn re-noising (edm.py:354-366)
             adjs_hat = s_ratio * adjs + noise_coef * self._churn_noise(k1, adjs)
@@ -407,7 +439,8 @@ class NodeAdjEDMSampler:
                     node_flags, ip, adjs_hat, nodes_hat, sigma_hat, k_ip)
 
             # Euler evaluation (edm.py:368-391)
-            den_a, den_x = _denoise(adjs_hat, nodes_hat, inv_s_hat, sigma_hat, sc_a, sc_x)
+            den_a, den_x = _denoise(adjs_hat, nodes_hat, inv_s_hat, sigma_hat,
+                                    sc_a, sc_x, k3)
             d_a = mask_adjs(A_hat * adjs_hat - B_hat * den_a, node_flags)
             d_x = mask_nodes(A_hat * nodes_hat - B_hat * den_x, node_flags)
             adjs_eul = adjs_hat + h * d_a
@@ -429,11 +462,11 @@ class NodeAdjEDMSampler:
                 elif self.heun_reuse_xhat:
                     # reference quirk: 2nd eval reuses x_hat/t_hat (edm.py:400-405)
                     den_a2, den_x2 = _denoise(adjs_hat, nodes_hat, inv_s_hat,
-                                              sigma_hat, sc_a2, sc_x2)
+                                              sigma_hat, sc_a2, sc_x2, k4)
                 else:
                     # corrected Heun: evaluate at (x_prime, t_prime)
                     den_a2, den_x2 = _denoise(adjs_pr, nodes_pr, inv_s_prime,
-                                              sigma_prime, sc_a2, sc_x2)
+                                              sigma_prime, sc_a2, sc_x2, k4)
                 d_a2 = A_prime * adjs_pr - B_prime * den_a2
                 d_x2 = A_prime * nodes_pr - B_prime * den_x2
                 w1 = 1.0 - 1.0 / (2.0 * self.alpha)
@@ -466,6 +499,48 @@ class NodeAdjEDMSampler:
             return (adjs_next, nodes_next, sc_a_next, sc_x_next, rng, ia, ix), None
 
         return step
+
+    def _adj_only_joint(self, denoiser_fn, node_flags):
+        """Adapt an adj-only denoiser to the joint signature (nodes ride
+        along as an inert dummy modality)."""
+        def joint_fn(adjs, nodes, sigmas, sc_a, sc_x):
+            return denoiser_fn(adjs, node_flags, sigmas, sc_a), jnp.zeros_like(nodes)
+        return joint_fn
+
+    def sample_adj(self, denoiser_fn, rng: jax.Array, node_flags: jax.Array,
+                   init_adjs: jax.Array | None = None, num_interim: int = 0,
+                   chunk_steps: int | None = None):
+        """Adj-only sampling (reference adj-only EDMSampler.sample,
+        edm.py:121-230): single [B, N, N] modality, symmetric folded-normal
+        init (edm.py:147 calls gen_init_sample with folded_norm=True), same
+        churn/Heun/self-cond structure as the joint path.
+
+        ``denoiser_fn``: (adjs, node_flags, sigmas[B], self_cond) -> D_adj
+        (the adj-only preconditioned model, reference precond.py:22-53).
+        Returns adjs or (adjs, interim_adjs)."""
+        rng, rng_init = jax.random.split(rng)
+        if init_adjs is None:
+            init_adjs = self.gen_init_sample_adj(rng_init, node_flags)
+        dummy_nodes = jnp.zeros(node_flags.shape[:2], init_adjs.dtype)
+        out = self.sample(self._adj_only_joint(denoiser_fn, node_flags), rng,
+                          node_flags, num_node_chan=1, num_edge_chan=1,
+                          init_adjs=init_adjs, init_nodes=dummy_nodes,
+                          num_interim=num_interim, chunk_steps=chunk_steps)
+        if num_interim > 0:
+            adjs, _, interim_a, _ = out
+            return adjs, interim_a
+        return out[0]
+
+    def gen_init_sample_adj(self, rng: jax.Array, node_flags: jax.Array,
+                            folded_norm: bool = True):
+        """Symmetric (optionally folded) normal init for the adj-only path
+        (reference: GeneralSampler.gen_init_sample,
+        runner/mcmc_sampler/__init__.py:28-41)."""
+        b, n = node_flags.shape[:2]
+        init = get_sym_normal_noise(rng, (b, n, n))
+        if folded_norm:
+            init = jnp.abs(init)
+        return mask_adjs(init, node_flags)
 
     def _chunk_runner(self, denoiser_fn, ip, has_interim: bool):
         """A cached jitted scan-chunk runner.
