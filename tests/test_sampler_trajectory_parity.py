@@ -149,3 +149,110 @@ def test_sigma_grid_parity(ref_sampler_mod, disc, schedule, scaling, _atol):
     _, _, sigma_inv = _np_schedules(schedule)
     ours_t = sigma_inv(ours_sigma)
     np.testing.assert_allclose(ours_t, ref.sigma_inv(ref.sigma_steps).numpy(), rtol=rtol)
+
+
+@pytest.fixture(scope="module")
+def ref_precond_mod():
+    sys.path.insert(0, REF)
+    import importlib
+    mod = importlib.import_module("model.precond.precond")
+    yield mod
+    sys.path.remove(REF)
+
+
+def test_precond_self_cond_refresh_quirk_parity(ref_sampler_mod,
+                                                ref_precond_mod, monkeypatch):
+    """The reference's UNGATED precond-level stochastic self-conditioning at
+    sampling time (precond.py:90-98 has no training check, and the eval path
+    wraps with self_condition=True, learning_utils.py:71-75): per model call,
+    with p=0.5 the sampler's self-cond carry is replaced by a refreshed
+    estimate D(x, sc=D(x, sc=carry)).  Our sampler mirrors it behind
+    ``precond_self_cond_refresh_p``; this pins the MECHANISM by forcing the
+    Bernoulli to 1 on both sides (reference np.random.rand -> 0.0, ours
+    p=1.0) and comparing full trajectories through a REAL reference
+    NodeAdjPrecond around a linear raw model."""
+    from diffusesg_tpu.models.precond import precond_forward
+
+    num_steps = 12
+    b, n, cx = 2, 8, 3
+    rs = np.random.RandomState(3)
+    flags_np = np.ones((b, n), bool)
+    flags_np[0, 5:] = False
+    init_a = rs.randn(b, n, n).astype(np.float32) * (
+        flags_np[:, :, None] * flags_np[:, None, :])
+    init_x = rs.randn(b, n, cx).astype(np.float32) * flags_np[:, :, None]
+
+    class _RawTorch(torch.nn.Module):
+        def forward(self, a_in, x_in, node_flags, c_noise, sc_a, sc_x, **kw):
+            sc_a = torch.zeros_like(a_in) if sc_a is None else sc_a
+            sc_x = torch.zeros_like(x_in) if sc_x is None else sc_x
+            cn = c_noise.to(a_in.dtype)
+            F_a = 0.5 * a_in + 0.1 * sc_a + 0.02 * cn.view(-1, 1, 1)
+            F_x = 0.6 * x_in + 0.2 * sc_x - 0.01 * cn.view(-1, 1, 1)
+            return F_a, F_x
+
+    ref_model = ref_precond_mod.NodeAdjPrecond(
+        precond="edm", model=_RawTorch(), self_condition=True,
+        symmetric_noise=False)
+    monkeypatch.setattr(ref_precond_mod.np.random, "rand", lambda *a: 0.0)
+
+    ref = ref_sampler_mod.NodeAdjEDMSampler(
+        solver="heun", discretization="edm", schedule="linear", scaling="none",
+        num_steps=num_steps, S_churn=0.0, S_min=0.0, S_max=float("inf"),
+        S_noise=1.0, clip_samples=False, clip_samples_min=None,
+        clip_samples_max=None, clip_samples_scope="x_0", self_condition=True,
+        dev="cpu", objective="edm", symmetric_noise=False)
+    with torch.no_grad():
+        ref_a, ref_x = ref.sample(
+            ref_model, torch.from_numpy(flags_np),
+            init_adjs=torch.from_numpy(init_a),
+            init_nodes=torch.from_numpy(init_x), flag_use_double=True,
+            flag_node_multi_channel=True, num_node_chan=cx, num_edge_chan=1)
+
+    flags_j = jnp.asarray(flags_np)
+
+    def denoiser(a, x, sigmas, sc_a, sc_x):
+        def model_fn(aa, xx, f, cn, s_a, s_x):
+            s_a = jnp.zeros_like(aa) if s_a is None else s_a
+            s_x = jnp.zeros_like(xx) if s_x is None else s_x
+            F_a = 0.5 * aa + 0.1 * s_a + 0.02 * cn[:, None, None]
+            F_x = 0.6 * xx + 0.2 * s_x - 0.01 * cn[:, None, None]
+            return F_a, F_x
+        return precond_forward(model_fn, "edm", a, x, flags_j, sigmas,
+                               sc_a, sc_x)
+
+    ours = NodeAdjEDMSampler(
+        solver="heun", discretization="edm", schedule="linear", scaling="none",
+        num_steps=num_steps, S_churn=0.0, S_min=0.0, S_max=float("inf"),
+        S_noise=1.0, self_condition=True, symmetric_noise=False,
+        precond_self_cond_refresh_p=1.0)
+    got_a, got_x = [np.asarray(t) for t in jax.jit(
+        lambda r, f: ours.sample(denoiser, r, f, cx, 1,
+                                 init_adjs=jnp.asarray(init_a),
+                                 init_nodes=jnp.asarray(init_x)))(
+        jax.random.PRNGKey(0), flags_j)]
+
+    np.testing.assert_allclose(got_a, ref_a.numpy(), rtol=1e-4, atol=3e-5)
+    np.testing.assert_allclose(got_x, ref_x.numpy(), rtol=1e-4, atol=3e-5)
+
+    # and with the quirk OFF (reference rand -> 1.0 vs our default p=0) the
+    # trajectories also agree — proving the flag isolates exactly this branch
+    monkeypatch.setattr(ref_precond_mod.np.random, "rand", lambda *a: 1.0)
+    with torch.no_grad():
+        ref_a0, _ = ref.sample(
+            ref_model, torch.from_numpy(flags_np),
+            init_adjs=torch.from_numpy(init_a),
+            init_nodes=torch.from_numpy(init_x), flag_use_double=True,
+            flag_node_multi_channel=True, num_node_chan=cx, num_edge_chan=1)
+    ours0 = NodeAdjEDMSampler(
+        solver="heun", discretization="edm", schedule="linear", scaling="none",
+        num_steps=num_steps, S_churn=0.0, S_min=0.0, S_max=float("inf"),
+        S_noise=1.0, self_condition=True, symmetric_noise=False)
+    got_a0, _ = [np.asarray(t) for t in jax.jit(
+        lambda r, f: ours0.sample(denoiser, r, f, cx, 1,
+                                  init_adjs=jnp.asarray(init_a),
+                                  init_nodes=jnp.asarray(init_x)))(
+        jax.random.PRNGKey(0), flags_j)]
+    np.testing.assert_allclose(got_a0, ref_a0.numpy(), rtol=1e-4, atol=3e-5)
+    # the two modes genuinely differ (the quirk changes the ODE trajectory)
+    assert np.abs(got_a - got_a0).max() > 1e-3
