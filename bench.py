@@ -10,7 +10,10 @@ total).  See BASELINE.md for the measurement provenance.
 
 Env knobs: BENCH_STEPS (default 1000), BENCH_BATCH (default 64),
 BENCH_DTYPE (default bfloat16), BENCH_PALLAS (default 1),
-BENCH_CONFIG (vg | coco, default vg).
+BENCH_CONFIG (vg | coco, default vg), BENCH_ARTIFACT=<dir> (fast
+re-verification: persist/load the AOT-compiled serving executable instead
+of re-jitting; first run builds it, later runs reach the first timed eval
+in seconds).
 """
 from __future__ import annotations
 
@@ -108,12 +111,6 @@ def main():
                                encoding=cfg.train.node_encoding,
                                edge_encoding=cfg.train.edge_encoding)
     n_node_ch, n_edge_ch = ch["num_node_type"], ch["num_adj_type"]
-    if chunk:
-        fn = lambda rng: sampler.sample(denoiser, rng, flags, n_node_ch,
-                                        n_edge_ch, chunk_steps=chunk)
-    else:
-        fn = jax.jit(lambda rng: sampler.sample(denoiser, rng, flags,
-                                                n_node_ch, n_edge_ch))
 
     import numpy as np
 
@@ -123,13 +120,65 @@ def main():
         jax.block_until_ready(o)
         return float(np.asarray(jax.tree.leaves(o)[0])[0].ravel()[0])
 
-    t0 = time.time()
-    _force(fn(jax.random.PRNGKey(1)))
-    compile_s = time.time() - t0
+    # BENCH_ARTIFACT=<dir>: fast re-verification path.  First run AOT-compiles
+    # the full serving pipeline (sampler + decode, bit-exact vs the live path
+    # per scripts/check_serving_tpu.py) and persists the backend EXECUTABLE;
+    # later runs load it in seconds instead of paying the ~70 s re-jit.
+    # Stale artifacts (different config/batch/steps/dtype/backend/jax) are
+    # rebuilt automatically.
+    artifact_dir = os.environ.get("BENCH_ARTIFACT")
+    extras = {}
+    if artifact_dir:
+        from diffusesg_tpu.serving.export import (load_compiled,
+                                                  make_serving_fn,
+                                                  save_compiled)
+        want_meta = {"config": config_name, "batch": batch,
+                     "num_steps": steps, "dtype": dtype,
+                     "pallas": bool(cfg.tpu.use_pallas_attention),
+                     "backend": backend, "jax": jax.__version__}
+        flags_np = np.asarray(flags)
+        compiled = None
+        t0 = time.time()
+        try:
+            compiled, meta = load_compiled(artifact_dir)
+            if meta != want_meta:
+                compiled = None
+        except Exception:  # noqa: BLE001 — missing file or any
+            # deserialization failure (topology/compiler drift) => rebuild
+            compiled = None
+        if compiled is None:
+            serve_fn = make_serving_fn(model, params, sampler, cfg)
+            t0 = time.time()
+            compiled = jax.jit(serve_fn).lower(np.int32(0), flags_np).compile()
+            save_compiled(artifact_dir, compiled, want_meta)
+            extras["artifact_build_s"] = round(time.time() - t0, 1)
+        else:
+            extras["artifact_load_s"] = round(time.time() - t0, 2)
+        fn = lambda seed: compiled(np.int32(seed), flags_np)
+        extras["artifact"] = True
 
-    t0 = time.time()
-    _force(fn(jax.random.PRNGKey(2)))
-    run_s = time.time() - t0
+        t0 = time.time()
+        _force(fn(1))
+        compile_s = time.time() - t0  # warmup dispatch, no compile
+
+        t0 = time.time()
+        _force(fn(2))
+        run_s = time.time() - t0
+    else:
+        if chunk:
+            fn = lambda rng: sampler.sample(denoiser, rng, flags, n_node_ch,
+                                            n_edge_ch, chunk_steps=chunk)
+        else:
+            fn = jax.jit(lambda rng: sampler.sample(denoiser, rng, flags,
+                                                    n_node_ch, n_edge_ch))
+
+        t0 = time.time()
+        _force(fn(jax.random.PRNGKey(1)))
+        compile_s = time.time() - t0
+
+        t0 = time.time()
+        _force(fn(jax.random.PRNGKey(2)))
+        run_s = time.time() - t0
 
     n_evals = 2 * steps - 1  # Heun: 2 evals/step except the last
     graphs_per_sec = batch / run_s
@@ -149,6 +198,7 @@ def main():
         "compile_s": round(compile_s, 1),
         "run_s": round(run_s, 2),
     }
+    result.update(extras)
     print(json.dumps(result))
 
 

@@ -341,3 +341,60 @@ def load_artifact(path: str):
     b0 = NamedSharding(mesh, P("data"))
     return jax.jit(exported.call, in_shardings=(repl, b0),
                    out_shardings=(b0, b0, b0)), meta
+
+
+# ---------------------------------------------------------------------------
+# AOT-compiled executables (compile-once, load-in-seconds)
+
+COMPILED_PKL = "compiled.pkl"
+
+
+def save_compiled(path: str, compiled, meta: dict) -> None:
+    """Persist an AOT-compiled executable (jax.jit(...).lower(...).compile())
+    plus caller metadata to ``path``/compiled.pkl.
+
+    Unlike the StableHLO artifact above (portable, but the target backend
+    still compiles it at load), this serializes the backend EXECUTABLE via
+    jax.experimental.serialize_executable — loading skips compilation
+    entirely (seconds, not minutes, over the tunnel's remote-compile path).
+    The flip side: it is pinned to the exact device topology and compiler
+    version, so ``meta`` should record enough to detect staleness (bench.py
+    keys on config/batch/steps/dtype/backend/jax-version).
+    """
+    import pickle
+
+    from jax.experimental.serialize_executable import serialize
+
+    payload, in_tree, out_tree = serialize(compiled)
+    try:  # executable device footprint (usually 1); load rebinds to as many
+        ndev = len(compiled._executable.xla_executable.local_devices())
+    except Exception:  # noqa: BLE001 — internal API; worst case assume 1
+        ndev = 1
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, COMPILED_PKL), "wb") as f:
+        pickle.dump({"meta": meta, "payload": payload, "num_devices": ndev,
+                     "in_tree": in_tree, "out_tree": out_tree}, f)
+
+
+def load_compiled(path: str):
+    """(callable, meta) from save_compiled output; raises FileNotFoundError
+    when absent — staleness checks against ``meta`` are the caller's."""
+    import pickle
+
+    from jax.experimental.serialize_executable import deserialize_and_load
+
+    with open(os.path.join(path, COMPILED_PKL), "rb") as f:
+        blob = pickle.load(f)
+    # rebind to exactly the executable's device footprint: with more visible
+    # devices than the program spans, deserialize_and_load would otherwise
+    # bind ALL of them and then reject single-shard args
+    ndev = int(blob.get("num_devices", 1))
+    devs = jax.local_devices()
+    if ndev > len(devs):
+        raise RuntimeError(
+            f"compiled artifact at {path} spans {ndev} devices but this "
+            f"process has {len(devs)} addressable")
+    compiled = deserialize_and_load(blob["payload"], blob["in_tree"],
+                                    blob["out_tree"],
+                                    execution_devices=devs[:ndev])
+    return compiled, blob["meta"]
