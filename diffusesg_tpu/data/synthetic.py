@@ -18,11 +18,20 @@ from ..models.channels import dataset_constants
 
 def synthetic_scene_graphs(num_graphs: int, max_nodes: int, num_node_type: int,
                            num_edge_type: int, seed: int = 0,
-                           min_nodes: int = 2) -> list[dict]:
+                           min_nodes: int = 2,
+                           pop_seed: int | None = None) -> list[dict]:
     rs = np.random.RandomState(seed)
-    # skewed type popularity, like real VG/COCO long-tail distributions
-    node_pop = rs.dirichlet(np.full(num_node_type, 0.3))
-    edge_pop = rs.dirichlet(np.full(max(num_edge_type - 1, 1), 0.5))
+    # skewed type popularity, like real VG/COCO long-tail distributions.
+    # pop_seed decouples the DISTRIBUTION (the dirichlet popularity vectors)
+    # from the graph draws: two calls sharing pop_seed sample iid graphs from
+    # the SAME distribution — the property real train/test splits have.
+    # Round-2 diagnosis: with per-split seeds the train/test populations
+    # differed (node-type MMD 0.042 between the raw splits vs 0.0008 for a
+    # same-population split), putting an irreducible floor under the quality
+    # run's node-type metric (BASELINE.md round-3 entry).
+    pop_rs = rs if pop_seed is None else np.random.RandomState(pop_seed)
+    node_pop = pop_rs.dirichlet(np.full(num_node_type, 0.3))
+    edge_pop = pop_rs.dirichlet(np.full(max(num_edge_type - 1, 1), 0.5))
     data = []
     for g in range(num_graphs):
         n = int(rs.randint(min_nodes, max_nodes + 1))
@@ -94,10 +103,12 @@ def synthetic_bundle_dicts(dataset_name: str, max_node_num: int, seed: int = 0,
     """(train_data, test_data, train_stats, test_stats, idx_to_word)."""
     num_node_type, num_edge_type, num_allowed = dataset_constants(dataset_name)
     max_n = min(max_node_num, num_allowed)
+    # shared pop_seed: train and test are iid draws from ONE distribution
+    # (like a real dataset split); only the graph-draw seeds differ
     train = synthetic_scene_graphs(num_train, max_n, num_node_type, num_edge_type,
-                                   seed=seed)
+                                   seed=seed, pop_seed=seed)
     test = synthetic_scene_graphs(num_test, max_n, num_node_type, num_edge_type,
-                                  seed=seed + 1)
+                                  seed=seed + 1, pop_seed=seed)
     idx_to_word = {
         "ind_to_classes": [f"obj_{i}" for i in range(num_node_type)],
         "ind_to_predicates": [f"rel_{i}" for i in range(num_edge_type)],
