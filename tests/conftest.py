@@ -39,3 +39,14 @@ def rng():
 @pytest.fixture()
 def np_rng():
     return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: everything not explicitly marked ``slow`` gets the
+    ``fast`` marker, so `pytest -m fast` is the quick regression tier
+    (<10 min on this box) and plain `pytest` stays the full nightly run."""
+    import pytest as _pytest
+
+    for item in items:
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(_pytest.mark.fast)

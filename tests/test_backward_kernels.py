@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas backward kernels
+
 from diffusesg_tpu.ops import mlp_block_kernel as mlpk
 
 

@@ -5,6 +5,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # subprocess CLI e2es (train/eval/resume/preemption)
 import yaml
 
 

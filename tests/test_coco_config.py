@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full COCO model builds
+
 from diffusesg_tpu.config import load_config
 from diffusesg_tpu.models import build_model, count_params
 from diffusesg_tpu.models.factory import init_params, example_inputs

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # train+sample e2e per encoding (compile-bound)
+
 from diffusesg_tpu.config import load_config
 from diffusesg_tpu.data import load_data
 from diffusesg_tpu.models import build_model

@@ -9,6 +9,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full train->sample->eval pipeline e2es
+
 from diffusesg_tpu.config import load_config
 
 

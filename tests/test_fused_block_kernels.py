@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode fused kernels
+
 from diffusesg_tpu.ops import mlp_block_kernel as mlpk
 from diffusesg_tpu.ops import swin_block_kernel as swink
 from diffusesg_tpu.ops.swin_block_kernel import _pick_batch_pack

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 8-device sharded train/dryrun compiles
+
 from diffusesg_tpu.parallel import (
     make_mesh, batch_sharding, zero1_sharding, shard_batch,
     shard_train_state, make_sharded_train_step, gather_to_host,

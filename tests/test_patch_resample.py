@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode patch merge/breakup kernels
+
 from diffusesg_tpu.ops import patch_resample as pr
 
 

@@ -16,6 +16,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # SPMD export compiles
+
 from diffusesg_tpu.config import load_config
 from diffusesg_tpu.parallel.mesh import make_mesh
 

@@ -1,3 +1,4 @@
+import pytest
 """shard_map data-parallel path (parallel/shardmap_dp.py): exact parity
 with a host-side emulation of the per-shard computation.
 
@@ -10,6 +11,8 @@ or near-bitwise agreement.
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow  # shard_map step compiles + emulation
 
 from test_parallel import _setup
 

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas v3 kernels
+
 from diffusesg_tpu.ops import swin_block_v3 as v3
 from diffusesg_tpu.ops import mlp_block_kernel as mlpk
 from diffusesg_tpu.ops.swin_block_v3 import _plan_v3

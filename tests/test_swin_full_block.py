@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode fused Swin block kernels
+
 from diffusesg_tpu.ops import swin_full_block as sfb
 from diffusesg_tpu.ops import mlp_block_kernel as mlpk
 from diffusesg_tpu.ops.swin_full_block import _head_group, _plan

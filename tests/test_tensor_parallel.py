@@ -1,3 +1,4 @@
+import pytest
 """Tensor-parallel (2-D data x model mesh) tests on the virtual 8-device
 CPU mesh: sharding-rule unit tests, real sharded placement, and numerical
 equivalence of the TP train step vs single-device jit.
@@ -9,6 +10,8 @@ DiffuseSG/utils/dist_training.py:62-85); this is the TPU-native extension
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow  # 2-D mesh TP step compiles
 from jax.sharding import PartitionSpec as P
 
 from diffusesg_tpu.parallel import (

@@ -15,7 +15,8 @@ import pytest
 import yaml
 
 REF = "/root/reference/DiffuseSG"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+pytestmark = [pytest.mark.slow,  # reference ckpt import e2es
+              pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")]
 
 torch = pytest.importorskip("torch")
 
