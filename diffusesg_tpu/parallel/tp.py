@@ -28,8 +28,12 @@ sharding of a *different* axis over ``data``.
 
 Note: tensor parallelism uses the XLA attention path.  The Pallas fused
 kernels are single-chip programs (tpu_custom_call is opaque to the SPMD
-partitioner), so configs running tp > 1 set use_pallas_attention: false;
-a shard_map wrapper for the fused kernels is future work.
+partitioner), so configs running tp > 1 set use_pallas_attention: false.
+SETTLED (round 3): no shard_map TP wrapper will be built — roofline
+arithmetic from the measured kernel numbers shows TP is a net loss at this
+model size (activation psums alone cost 5-10 ms/eval vs 7.8 ms of compute
+saved; docs/PARALLELISM.md "TP×Pallas: settled").  TP remains a
+correctness-verified hook for much wider model variants.
 """
 from __future__ import annotations
 
@@ -74,20 +78,41 @@ def _tp_axis(name: str, ndim: int):
 
 
 def tp_param_shardings(params: Any, mesh: Mesh, model_axis: str = "model") -> Any:
-    """NamedSharding pytree for the model parameters under tensor parallelism."""
+    """NamedSharding pytree for the model parameters under tensor parallelism.
+
+    Leaves whose tensor-parallel axis does not divide the ``model`` mesh size
+    fall back to replication — WITH a warning naming them, so a degenerate
+    factorization (e.g. tp=3 against C=96 heads-of-3 stages) is visible
+    instead of silently running replicated."""
+    import logging
+
     tp = mesh.shape[model_axis]
+    fallbacks = []
 
     def _sh(path, leaf):
         ndim = getattr(leaf, "ndim", 0)
         spec = [None] * ndim
         ax = _tp_axis(_leaf_name(path), ndim)
-        if ax is not None and ndim and leaf.shape[ax] % tp == 0 and leaf.shape[ax] >= tp:
-            spec[ax] = model_axis
+        if ax is not None and ndim:
+            if leaf.shape[ax] % tp == 0 and leaf.shape[ax] >= tp:
+                spec[ax] = model_axis
+            else:
+                fallbacks.append((jax.tree_util.keystr(path),
+                                  tuple(leaf.shape), ax))
         while spec and spec[-1] is None:  # P(None,) -> P(): plain replication
             spec.pop()
         return NamedSharding(mesh, P(*spec))
 
-    return jax.tree_util.tree_map_with_path(_sh, params)
+    out = jax.tree_util.tree_map_with_path(_sh, params)
+    if fallbacks:
+        logging.warning(
+            "tensor parallelism: %d leaves fall back to REPLICATED (their "
+            "tp axis is not divisible by model=%d): %s%s — these layers run "
+            "unsharded and pay no-op collectives; pick a tp that divides "
+            "the stage channel counts", len(fallbacks), tp,
+            "; ".join(f"{n} shape={s} axis={a}" for n, s, a in fallbacks[:4]),
+            " ..." if len(fallbacks) > 4 else "")
+    return out
 
 
 def tp_state_shardings(tree: Any, mesh: Mesh, data_axis: str = "data",
