@@ -233,11 +233,16 @@ def sampled(trained, imported, ref_env):
     init_x = (rs.randn(b, n, trained["out_x"]).astype(np.float32)
               * flags[:, :, None])
 
-    # reference side: its own sampler + the trained NodeAdjPrecond; the
-    # ungated precond self-cond randomness is disabled via np.random so the
-    # run is deterministic (see test_precond_self_cond_refresh_quirk_parity
+    # reference side: its own sampler + the trained NodeAdjPrecond in fp64
+    # (flag_use_double feeds fp64 states into the model, so the weights must
+    # be double too — this also makes the reference a proper fp64 oracle);
+    # the ungated precond self-cond randomness is disabled via np.random so
+    # the run is deterministic (see test_precond_self_cond_refresh_quirk_parity
     # for the quirk's own cross-validation)
+    import copy
+
     import numpy.random as npr
+    ref_model64 = copy.deepcopy(trained["model"]).double().eval()
     orig_rand = npr.rand
     npr.rand = lambda *a: 1.0
     try:
@@ -250,7 +255,7 @@ def sampled(trained, imported, ref_env):
             dev=torch.device("cpu"), objective="edm", symmetric_noise=False)
         with torch.no_grad():
             ref_a, ref_x = ref_sampler.sample(
-                trained["model"], torch.tensor(flags),
+                ref_model64, torch.tensor(flags),
                 init_adjs=torch.tensor(init_a),
                 init_nodes=torch.tensor(init_x), flag_use_double=True,
                 flag_node_multi_channel=True, num_node_chan=trained["out_x"],
@@ -387,7 +392,7 @@ def test_trained_eval_metrics_parity(sampled, trained, ref_env):
                                want["gaussian"]["degree"],
                                rtol=1e-6, atol=1e-9)
 
-    trip_dict = bundle.test_triplet_dict["triplet_dict_sorted"]
+    trip_dict = bundle.test_triplet_dict  # already the sorted freq dict
     got = OurEval.compute_triplet_tv_dist(gen_et, gen_nt, flags, trip_dict,
                                           list(trip_dict.keys()))
     want = RefEval.compute_triplet_tv_dist(t(gen_et), t(gen_nt), t(flags),
