@@ -75,15 +75,17 @@ def _plan_v3(b, h, w, c, window, num_heads, mlp_hidden):
         relp = n_grp * (P * L) * (G * P * L) * 4
         scores = (P * L) * (G * P * L) * 8  # fp32 scores + exp
         hmask = (G * P * L) * (G * c // num_heads) * 2
-        # KNOWN omission: the shifted-window mask block
-        # (rp*n_win/P, P*L, G*P*L) fp32 is NOT counted.  Counting it would
-        # shrink the chip-validated COCO stage-0 plan (rp 4 -> 2) that
-        # measurably fits and is fast: the act*44 coefficient is
-        # deliberately conservative and absorbs it for every shipped
-        # geometry (14M cap vs 16M real VMEM).  Revisit if a new geometry
-        # with rp*n_win/P * (P*L) * (G*P*L) * 4 > ~4MB trips a Mosaic
-        # VMEM error on a shifted block.
-        return weights + act + hid + relp + scores + hmask
+        # The shifted-window mask tile ((rp*n_win/P, P*L, G*P*L) fp32) is
+        # counted only beyond a 4 MB allowance: the act*44 coefficient is
+        # deliberately conservative (14M cap vs 16M real VMEM) and absorbs
+        # it for every chip-validated geometry (VG stage-1 3.1 MB, COCO
+        # stage-0 3.8 MB at their shipped plans — counting those in full
+        # would shrink plans that measurably fit and are fast), while an
+        # UNSEEN geometry whose mask slice outgrows the allowance now
+        # shrinks its tile instead of tripping a Mosaic VMEM error.
+        maskp = (rp * n_win // max(P, 1)) * (P * L) * (G * P * L) * 4
+        mask_extra = max(0, maskp - 4 * 1024 * 1024)
+        return weights + act + hid + relp + scores + hmask + mask_extra
 
     LIMIT = 14 * 1024 * 1024
 
