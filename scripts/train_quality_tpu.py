@@ -37,6 +37,15 @@ with cfg.unlocked():
     cfg.test.batch_size = 128
     cfg.test.eval_size = 256
     cfg.mcmc.num_steps = 100
+    # the reference's ACTUAL training recipe overrides the yaml defaults
+    # (README.md:62-76: --node_encoding bits --edge_encoding bits
+    # --iou_loss_type giou): round-3 diagnosis showed the yaml's ddpm node
+    # encoding (one scalar quantized into 150 intervals of width 0.013)
+    # never learns the type marginal — which is precisely why the paper
+    # runs bits
+    cfg.train.node_encoding = os.environ.get('QUALITY_NODE_ENC', 'bits')
+    cfg.train.edge_encoding = os.environ.get('QUALITY_EDGE_ENC', 'bits')
+    cfg.train.iou_loss_type = 'giou'
 os.makedirs(cfg.logdir, exist_ok=True)
 bundle = load_data(cfg, data_root='/nonexistent')
 model = build_model(cfg)
