@@ -34,14 +34,20 @@ ITERS = 10
 STAGES = [(64, 64, 96, 2), (32, 32, 192, 2), (16, 16, 384, 6), (8, 8, 768, 1)]
 
 
+def _sync(r):
+    # completion barrier with a TINY host fetch: block_until_ready can return
+    # early under the tunnel, but transferring the full array would dominate
+    # the timing — slice ONE element on device and fetch 2 bytes
+    leaf = jax.tree.leaves(r)[0]
+    return float(np.asarray(leaf[:1, :1]))
+
+
 def _time(fn, *args):
-    r = jax.block_until_ready(fn(*args))
-    _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[0]
+    _sync(fn(*args))
     t0 = time.time()
     for _ in range(ITERS):
         r = fn(*args)
-    jax.block_until_ready(r)
-    _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[0]
+    _sync(r)
     return (time.time() - t0) / ITERS
 
 
