@@ -25,13 +25,17 @@ OUT = os.environ.get("QUALITY_DIR", "/tmp/quality")
 STEPS = int(os.environ.get("QUALITY_STEPS", 12000))
 EVAL_EVERY = int(os.environ.get("QUALITY_EVAL_EVERY", 4000))
 
-cfg = load_config('configs/edm_diffuse_sg_regular_visual_genome.yaml')
+_CFGS = {'vg': 'configs/edm_diffuse_sg_regular_visual_genome.yaml',
+         'coco': 'configs/edm_diffuse_sg_regular_coco.yaml'}
+cfg = load_config(_CFGS[os.environ.get('QUALITY_CONFIG', 'vg')])
 with cfg.unlocked():
     cfg.exp_dir = OUT
     cfg.logdir = os.path.join(OUT, 'run')
     cfg.tpu.compute_dtype = 'bfloat16'
     cfg.tpu.use_pallas_attention = True
-    cfg.dataset.max_node_num = 16     # small graphs -> fast steps, real learning
+    # small graphs -> fast steps, real learning; must divide the config's
+    # window size (VG window 8 -> 16, COCO window 10 -> 20)
+    cfg.dataset.max_node_num = 16 if cfg.model.window_size == 8 else 20
     cfg.dataset.subset = 512
     cfg.train.batch_size = 64
     cfg.test.batch_size = 128
