@@ -93,8 +93,22 @@ def test_sanity_check_sampling_reproduces_gt(trained):
     assert metrics["node_type_mmd_gaussian"] < 1e-6
     assert metrics["edge_type_mmd_gaussian"] < 1e-6
     assert metrics["node_degree_mmd_gaussian"] < 1e-6
-    # bbox f1 of identical sets: diagonal retrieval perfect
-    assert metrics["vanilla_f1_avg_max"] > 0.99
+    # bbox f1 of identical sets: best match sits on the diagonal, at the
+    # reference F1 semantics' self-match value (bbox_metrics.py:80-111:
+    # recall = MEAN of the cumulative recall curve, so a class with n
+    # duplicate instances self-matches at r=(n+1)/2n, F1=2r/(1+r) < 1 —
+    # NOT 1.0 whenever a graph repeats a node type).
+    mat = metrics["_mat_f1"]["vanilla"]
+    assert np.allclose(mat.max(-1), np.diag(mat)), "self is not the best match"
+    nodes = np.asarray(bundle.test.nodes)[..., 0]
+    flags = np.asarray(bundle.test.node_flags).astype(bool)
+    expected = []
+    for b in range(nodes.shape[0]):
+        _, counts = np.unique(nodes[b][flags[b]], return_counts=True)
+        r = (counts + 1) / (2.0 * counts)
+        expected.append((2 * r / (1 + r)).mean())
+    assert np.allclose(np.diag(mat), expected, atol=1e-9), (
+        f"diag {np.diag(mat)} != expected self-F1 {expected}")
     # artifacts written
     csv = os.path.join(cfg.logdir, "eval_results.csv")
     assert os.path.isfile(csv)
