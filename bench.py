@@ -127,6 +127,14 @@ def main():
     # Stale artifacts (different config/batch/steps/dtype/backend/jax) are
     # rebuilt automatically.
     artifact_dir = os.environ.get("BENCH_ARTIFACT")
+    if artifact_dir and chunk:
+        # the artifact is one monolithic AOT program; it cannot honor the
+        # chunked-dispatch knob, so the chunk request wins (see BENCH_CHUNK
+        # comment above re device watchdogs)
+        print("bench: BENCH_CHUNK set - ignoring BENCH_ARTIFACT "
+              "(chunked sampling cannot run from the monolithic artifact)",
+              file=sys.stderr)
+        artifact_dir = None
     extras = {}
     if artifact_dir:
         from diffusesg_tpu.serving.export import (load_compiled,
@@ -135,8 +143,19 @@ def main():
         want_meta = {"config": config_name, "batch": batch,
                      "num_steps": steps, "dtype": dtype,
                      "pallas": bool(cfg.tpu.use_pallas_attention),
-                     "backend": backend, "jax": jax.__version__}
+                     "backend": backend, "jax": jax.__version__,
+                     "device": jax.devices()[0].device_kind}
         flags_np = np.asarray(flags)
+
+        def _build():
+            serve_fn = make_serving_fn(model, params, sampler, cfg)
+            t0 = time.time()
+            built = jax.jit(serve_fn).lower(np.int32(0), flags_np).compile()
+            save_compiled(artifact_dir, built, want_meta)
+            extras["artifact_build_s"] = round(time.time() - t0, 1)
+            extras.pop("artifact_load_s", None)
+            return built
+
         compiled = None
         t0 = time.time()
         try:
@@ -147,24 +166,34 @@ def main():
             # deserialization failure (topology/compiler drift) => rebuild
             compiled = None
         if compiled is None:
-            serve_fn = make_serving_fn(model, params, sampler, cfg)
-            t0 = time.time()
-            compiled = jax.jit(serve_fn).lower(np.int32(0), flags_np).compile()
-            save_compiled(artifact_dir, compiled, want_meta)
-            extras["artifact_build_s"] = round(time.time() - t0, 1)
+            compiled = _build()
         else:
             extras["artifact_load_s"] = round(time.time() - t0, 2)
         fn = lambda seed: compiled(np.int32(seed), flags_np)
         extras["artifact"] = True
+        # the serving program fuses integer decode after the sampler; run_s
+        # therefore includes the decode epilogue the live-jit path excludes
+        # (~0.3% at 1000 steps, more at short BENCH_STEPS)
+        extras["program"] = "sampling+decode"
 
         t0 = time.time()
-        _force(fn(1))
+        try:
+            _force(fn(1))
+        except Exception as exc:  # noqa: BLE001 — a deserialized executable
+            # can load fine and still fail at EXECUTION (buffer-definition /
+            # topology drift, tests/test_serving.py:99-102); rebuild once
+            print(f"bench: loaded artifact failed at execution ({exc!r}); "
+                  "rebuilding", file=sys.stderr)
+            compiled = _build()
+            t0 = time.time()
+            _force(fn(1))
         compile_s = time.time() - t0  # warmup dispatch, no compile
 
         t0 = time.time()
         _force(fn(2))
         run_s = time.time() - t0
     else:
+        extras["program"] = "sampling"
         if chunk:
             fn = lambda rng: sampler.sample(denoiser, rng, flags, n_node_ch,
                                             n_edge_ch, chunk_steps=chunk)

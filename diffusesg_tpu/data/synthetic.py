@@ -29,7 +29,13 @@ def synthetic_scene_graphs(num_graphs: int, max_nodes: int, num_node_type: int,
     # differed (node-type MMD 0.042 between the raw splits vs 0.0008 for a
     # same-population split), putting an irreducible floor under the quality
     # run's node-type metric (BASELINE.md round-3 entry).
-    pop_rs = rs if pop_seed is None else np.random.RandomState(pop_seed)
+    # derive the pop stream from a DIFFERENT seed than the graph stream:
+    # RandomState(pop_seed) and RandomState(seed) with pop_seed == seed (the
+    # train split) would emit identical raw outputs, so the popularity draw
+    # would replay the exact randomness the first graph draws then consume —
+    # deterministically coupling the distribution to the samples
+    pop_rs = (rs if pop_seed is None
+              else np.random.RandomState((pop_seed ^ 0x9E3779B9) & 0x7FFFFFFF))
     node_pop = pop_rs.dirichlet(np.full(num_node_type, 0.3))
     edge_pop = pop_rs.dirichlet(np.full(max(num_edge_type - 1, 1), 0.5))
     data = []

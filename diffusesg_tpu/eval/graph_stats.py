@@ -47,12 +47,7 @@ def clustering_histograms(adjs: np.ndarray, bins: int = 100) -> list[np.ndarray]
     """Per-graph clustering-coefficient histograms (reference: stats.py:70-78)."""
     import networkx as nx
     out = []
-    for adj in np.asarray(adjs):
-        g = nx.from_numpy_array(adj)
-        g.remove_edges_from(list(nx.selfloop_edges(g)))
-        g.remove_nodes_from(list(nx.isolates(g)))
-        if g.number_of_nodes() < 1:
-            g.add_node(1)
+    for g in adjs_to_graphs(adjs):
         coeffs = list(nx.clustering(g).values())
         hist, _ = np.histogram(coeffs, bins=bins, range=(0.0, 1.0), density=False)
         out.append(hist.astype(np.float64))
@@ -71,12 +66,7 @@ def spectral_histograms(adjs: np.ndarray, n_bins: int = 200) -> list[np.ndarray]
     import networkx as nx
     from scipy.linalg import eigvalsh
     out = []
-    for adj in np.asarray(adjs):
-        g = nx.from_numpy_array(adj)
-        g.remove_edges_from(list(nx.selfloop_edges(g)))
-        g.remove_nodes_from(list(nx.isolates(g)))
-        if g.number_of_nodes() < 1:
-            g.add_node(1)
+    for g in adjs_to_graphs(adjs):
         lap = nx.normalized_laplacian_matrix(g).todense().astype(float)
         eigs = eigvalsh(lap)
         hist, _ = np.histogram(eigs, bins=n_bins, range=(-1e-5, 2), density=False)

@@ -36,7 +36,7 @@ def eval_sample_batch(sample_b, test_adj_b, init_adjs, save_dir: str,
     round_init_delta = _norm(round_init - test_adj_b)
     logging.info(
         "sample delta_norm_mean: %.3e | init delta_norm_mean: %.3e"
-        "| round init delta_norm_mean: %.3e",
+        " | round init delta_norm_mean: %.3e",
         delta, init_delta, round_init_delta)
 
     # per-graph node counts from the GT batch (sampling_utils.py:76-77),

@@ -33,9 +33,9 @@ with cfg.unlocked():
     cfg.logdir = os.path.join(OUT, 'run')
     cfg.tpu.compute_dtype = 'bfloat16'
     cfg.tpu.use_pallas_attention = True
-    # small graphs -> fast steps, real learning; must divide the config's
-    # window size (VG window 8 -> 16, COCO window 10 -> 20)
-    cfg.dataset.max_node_num = 16 if cfg.model.window_size == 8 else 20
+    # small graphs -> fast steps, real learning; must be a multiple of the
+    # config's window size (VG window 8 -> 16, COCO window 10 -> 20)
+    cfg.dataset.max_node_num = 2 * cfg.model.window_size
     cfg.dataset.subset = 512
     cfg.train.batch_size = 64
     cfg.test.batch_size = 128

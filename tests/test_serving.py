@@ -107,8 +107,15 @@ def test_compiled_executable_roundtrip(tiny_cfg, serving_fn, tmp_path):
         # this image's XLA:CPU AOT loader cannot reliably re-execute
         # deserialized executables (machine-feature mismatch warnings +
         # "Buffer Definition Event ... not found"); the path is exercised
-        # for real on TPU by `BENCH_ARTIFACT=<dir> python bench.py`
-        pytest.skip(f"XLA:CPU AOT loader unsupported here: {e}")
+        # for real on TPU by `BENCH_ARTIFACT=<dir> python bench.py`.
+        # Skip ONLY on that known loader signature — anything else (wrong
+        # in_tree/out_tree, bad device rebinding, ...) is a real regression
+        # in load_compiled and must fail the test.
+        msg = str(e)
+        if ("Buffer Definition Event" in msg
+                or "machine features" in msg.lower()):
+            pytest.skip(f"XLA:CPU AOT loader unsupported here: {e}")
+        raise
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r), g)
 

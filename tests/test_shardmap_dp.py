@@ -1,4 +1,3 @@
-import pytest
 """shard_map data-parallel path (parallel/shardmap_dp.py): exact parity
 with a host-side emulation of the per-shard computation.
 
@@ -8,6 +7,7 @@ explicit — shard i computes with fold_in(key, i) on its batch slice — so
 these tests re-run that exact computation unsharded and require bitwise
 or near-bitwise agreement.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np

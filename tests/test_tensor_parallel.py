@@ -1,4 +1,3 @@
-import pytest
 """Tensor-parallel (2-D data x model mesh) tests on the virtual 8-device
 CPU mesh: sharding-rule unit tests, real sharded placement, and numerical
 equivalence of the TP train step vs single-device jit.
@@ -7,6 +6,7 @@ The reference has no model parallelism (DDP only,
 DiffuseSG/utils/dist_training.py:62-85); this is the TPU-native extension
 (parallel/tp.py).
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
