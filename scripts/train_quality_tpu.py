@@ -34,8 +34,10 @@ with cfg.unlocked():
     cfg.tpu.compute_dtype = 'bfloat16'
     cfg.tpu.use_pallas_attention = True
     # small graphs -> fast steps, real learning; must be a multiple of the
-    # config's window size (VG window 8 -> 16, COCO window 10 -> 20)
-    cfg.dataset.max_node_num = 2 * cfg.model.window_size
+    # config's window size (VG window 8 -> 16, COCO window 10 -> 20).
+    # QUALITY_MAX_NODES=64 runs the full headline geometry instead.
+    cfg.dataset.max_node_num = int(os.environ.get(
+        'QUALITY_MAX_NODES', 2 * cfg.model.window_size))
     cfg.dataset.subset = 512
     cfg.train.batch_size = 64
     cfg.test.batch_size = 128
