@@ -92,12 +92,19 @@ while done < STEPS:
         state, m = step(state, sub, jnp.asarray(adjs), jnp.asarray(nodes),
                         jnp.asarray(flags))
         done += 1
-        if done % EVAL_EVERY == 0:
+        if done % 2000 == 0:
             print(f'step {done} loss_adj {float(m["loss_adj"]):.4f} '
                   f'loss_node {float(m["loss_node"]):.4f} '
                   f'({time.time()-t0:.0f}s)', flush=True)
+        if done % EVAL_EVERY == 0:
+            # eval BOTH EMA tracks at every checkpoint: the tunnel can hang
+            # for hours mid-run, and intermediate 0.999 rows keep a killed
+            # run reportable (the 0.9999 track lags inside its ~1/(1-beta)
+            # warmup horizon on short runs)
+            _eval(f"step{done}_ema0.999",
+                  jax.device_get(ema_slice(state.ema_params, 0)), epoch + 2)
             _eval(f"step{done}_ema0.9999",
-                  jax.device_get(ema_slice(state.ema_params, -1)), epoch + 2)
+                  jax.device_get(ema_slice(state.ema_params, -1)), epoch + 3)
         if done >= STEPS:
             break
     epoch += 1

@@ -37,6 +37,42 @@ def test_stats_dicts():
     assert sorted(stats["node_bbox_area_avg_dict_sorted"].keys()) == list(range(20))
 
 
+def test_synthetic_splits_share_population():
+    """Regression for the round-3 quality diagnosis: train/test must be iid
+    draws from ONE type distribution (shared pop_seed), like real dataset
+    splits — per-split populations put an irreducible floor under the
+    node-type metrics (BASELINE.md round-3 entry)."""
+    from diffusesg_tpu.data.synthetic import synthetic_bundle_dicts
+
+    def type_marginal(data, k):
+        h = np.zeros(k)
+        for item in data:
+            np.add.at(h, item["node_labels"], 1)
+        return h / h.sum()
+
+    train, test, *_ = synthetic_bundle_dicts("visual_genome", 16, seed=0,
+                                             num_train=512, num_test=256)
+    k = 150
+    tv_same = 0.5 * np.abs(type_marginal(train, k) - type_marginal(test, k)).sum()
+
+    # the old (buggy) behavior: per-split populations
+    other = synthetic_scene_graphs(256, 16, k, 51, seed=1, pop_seed=1)
+    tv_diff = 0.5 * np.abs(type_marginal(train, k) - type_marginal(other, k)).sum()
+
+    # same population: only sampling noise separates the splits; different
+    # dirichlet draws with alpha=0.3 are far apart in TV
+    assert tv_same < 0.25, tv_same
+    assert tv_diff > 2 * tv_same, (tv_same, tv_diff)
+
+    # pop_seed decoupling: the popularity stream must NOT replay the graph
+    # stream's randomness (pop_seed == seed is the train-split default)
+    a = synthetic_scene_graphs(8, 8, 20, 5, seed=3, pop_seed=3)
+    b = synthetic_scene_graphs(8, 8, 20, 5, seed=4, pop_seed=3)
+    assert any((x["node_labels"].shape != y["node_labels"].shape
+                or (x["node_labels"] != y["node_labels"]).any())
+               for x, y in zip(a, b)), "graph draws must differ across seeds"
+
+
 def test_build_tensors_ddpm_bbox():
     data = synthetic_scene_graphs(12, 8, 20, 5, seed=1)
     ds = build_tensors(data, max_node_num=8, num_node_attr_type=20,
