@@ -121,8 +121,8 @@ def _load_from_checkpoint(args, build_fns: bool = True):
     batch = int(args.batch_size or config.test.batch_size
                 or config.train.batch_size)
     mesh, ndev = _resolve_mesh(args.devices, batch)
-    spmd_mode = (config.tpu.get("spmd_mode", "gspmd")
-                 if "tpu" in config else "gspmd")
+    from ..parallel.mesh import resolve_spmd_mode
+    spmd_mode = resolve_spmd_mode(config, ndev if mesh is not None else 1)
     serve_fn = complete_fn = None
     if build_fns and mesh is not None:
         logging.info("serving on a %d-device data mesh (spmd_mode=%s)",

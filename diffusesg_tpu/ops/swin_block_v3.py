@@ -54,11 +54,15 @@ INTERPRET = False  # tests flip this to run the Pallas kernel on CPU (interpret)
 NEG = -1e9
 
 
-def _plan_v3(b, h, w, c, window, num_heads, mlp_hidden):
+def _plan_v3(b, h, w, c, window, num_heads, mlp_hidden, has_mask=True):
     """(rb, rp, P, G, fuse_mlp) for the pair-packed kernel.
 
     rb: batch elements per tile, rp: window-rows per tile, P: windows packed
     along the matmul M dim (2 when the per-tile window count is even).
+
+    ``has_mask``: whether this block is a SHIFTED-window block — only those
+    carry the additive mask tile into VMEM (fwd call site: `mask is not
+    None`).  Defaults to True (conservative) for external callers.
     """
     n_win = w // window
     rows_img = h // window
@@ -75,17 +79,18 @@ def _plan_v3(b, h, w, c, window, num_heads, mlp_hidden):
         relp = n_grp * (P * L) * (G * P * L) * 4
         scores = (P * L) * (G * P * L) * 8  # fp32 scores + exp
         hmask = (G * P * L) * (G * c // num_heads) * 2
-        # The shifted-window mask tile ((rp*n_win/P, P*L, G*P*L) fp32) is
-        # counted only beyond a 4 MB allowance: the act*44 coefficient is
-        # deliberately conservative (14M cap vs 16M real VMEM) and absorbs
-        # it for every chip-validated geometry (VG stage-1 3.1 MB, COCO
-        # stage-0 3.8 MB at their shipped plans — counting those in full
-        # would shrink plans that measurably fit and are fast), while an
-        # UNSEEN geometry whose mask slice outgrows the allowance now
-        # shrinks its tile instead of tripping a Mosaic VMEM error.
-        maskp = (rp * n_win // max(P, 1)) * (P * L) * (G * P * L) * 4
-        mask_extra = max(0, maskp - 4 * 1024 * 1024)
-        return weights + act + hid + relp + scores + hmask + mask_extra
+        # the shifted-window mask tile ((rp*n_win/P, P*L, G*P*L) fp32),
+        # counted EXACTLY and only when this block actually carries one
+        # (shift > 0).  Exact per-plan accounting replaces the round-3
+        # 4 MB-allowance heuristic: at the 14M cap every chip-validated
+        # VG/COCO plan is unchanged (the real mask tiles are 1-2 MB and the
+        # conservative act coefficient's headroom covers them), while an
+        # unseen geometry with an outsized mask now shrinks its tile instead
+        # of tripping a Mosaic VMEM error — and unshifted blocks no longer
+        # pay for a mask they never load.
+        maskp = ((rp * n_win // max(P, 1)) * (P * L) * (G * P * L) * 4
+                 if has_mask else 0)
+        return weights + act + hid + relp + scores + hmask + maskp
 
     LIMIT = 14 * 1024 * 1024
 
@@ -285,7 +290,8 @@ def _fwd_impl(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
     L = window * window
     hd = c // num_heads
     hidden = w1.shape[1]
-    rb, rp, P, G, fuse_mlp = _plan_v3(b, h, w, c, window, num_heads, hidden)
+    rb, rp, P, G, fuse_mlp = _plan_v3(b, h, w, c, window, num_heads, hidden,
+                                      has_mask=mask is not None)
     n_grp = num_heads // G
     if (P * L) % 8 != 0:
         # Score-row sublane alignment, mirroring the backward's geom_ok:
@@ -648,7 +654,8 @@ def _attn_bwd_call(x, scale_shift, ln1_g, ln1_b, wqkv, bqkv, wproj,
     n_win = w // window
     L = window * window
     hd = c // num_heads
-    rb, rp, P, G, _ = _plan_v3(b, h, w, c, window, num_heads, 4 * c)
+    rb, rp, P, G, _ = _plan_v3(b, h, w, c, window, num_heads, 4 * c,
+                               has_mask=mask is not None)
     n_grp = num_heads // G
 
     def pick_P(rb_, rp_):

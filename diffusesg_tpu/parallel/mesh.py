@@ -35,6 +35,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def resolve_spmd_mode(config, mesh_size: int) -> str:
+    """Pick the multi-device execution strategy from ``config.tpu``.
+
+    ``spmd_mode: auto`` (the shipped default) selects ``shard_map`` whenever
+    the run is multi-device AND ``use_pallas_attention`` is on — GSPMD cannot
+    partition the Pallas custom call, so under ``gspmd`` a multi-chip run
+    silently falls back to the ~2x-slower XLA attention path
+    (docs/PARALLELISM.md "GSPMD x Pallas").  Single-device or XLA-attention
+    runs stay on ``gspmd`` (pjit + NamedSharding, ZeRO-1 state sharding).
+
+    An EXPLICIT ``gspmd`` with Pallas on a multi-device mesh is honored but
+    warned about loudly, since it is almost always a config mistake.
+    """
+    import logging
+    tpu = config.tpu if "tpu" in config else None
+    mode = tpu.get("spmd_mode", "auto") if tpu is not None else "auto"
+    pallas = bool(tpu.get("use_pallas_attention", False)) if tpu is not None else False
+    if mode == "auto":
+        mode = "shard_map" if (mesh_size > 1 and pallas) else "gspmd"
+    elif mode == "gspmd" and mesh_size > 1 and pallas:
+        logging.warning(
+            "tpu.spmd_mode=gspmd with use_pallas_attention on a %d-device "
+            "mesh: GSPMD cannot shard the Pallas attention custom call, so "
+            "this run will use the ~2x-slower XLA attention fallback. Set "
+            "spmd_mode: shard_map (or auto) to keep the fused kernels.",
+            mesh_size)
+    return mode
+
+
 def per_host_batch_size(global_batch: int, mesh_size: int) -> int:
     """Rows each host feeds per step for a configured GLOBAL batch.
 

@@ -177,7 +177,8 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
     # interim snapshot cap mirrors the reference (sampler_node_adj.py:85-86)
     num_interim = min(int(config.test.get("num_interim", 10)),
                       mc_sampler.num_steps)
-    spmd_mode = config.tpu.get("spmd_mode", "gspmd") if "tpu" in config else "gspmd"
+    from ..parallel.mesh import resolve_spmd_mode
+    spmd_mode = resolve_spmd_mode(config, mesh.size if mesh is not None else 1)
     if (spmd_mode == "shard_map" and not sanity_check and mesh is not None
             and mesh.size > 1):
         # explicit per-shard execution: carries the Pallas kernels to

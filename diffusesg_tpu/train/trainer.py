@@ -62,7 +62,8 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
                            process_index=jax.process_index(),
                            process_count=jax.process_count())
 
-    spmd_mode = config.tpu.get("spmd_mode", "gspmd") if "tpu" in config else "gspmd"
+    from ..parallel.mesh import resolve_spmd_mode
+    spmd_mode = resolve_spmd_mode(config, mesh.size)
     if spmd_mode == "shard_map" and mesh.size > 1:
         if optimizer is None or step_cfg is None:
             raise ValueError("spmd_mode=shard_map needs optimizer + step_cfg "

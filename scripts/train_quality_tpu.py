@@ -56,15 +56,31 @@ os.makedirs(cfg.logdir, exist_ok=True)
 bundle = load_data(cfg, data_root='/nonexistent')
 model = build_model(cfg)
 params = init_params(model, cfg, jax.random.PRNGKey(0))
-opt = make_optimizer(cfg.train.lr_init * 2, 1.0, 8)  # 4e-4, no decay (short run)
+# the reference's LR recipe verbatim: Adam(lr_init=2e-4) + per-epoch
+# ExponentialLR(gamma=lr_dacey, which the shipped yamls pin to 1.0 = constant)
+# (reference: learning_utils.py:137-141, config yamls train block).
+# QUALITY_LR_SCALE retains the earlier 2x-no-decay shortcut for comparisons.
+_lr_scale = float(os.environ.get('QUALITY_LR_SCALE', 1.0))
+_steps_per_epoch = max(1, -(-cfg.dataset.subset // cfg.train.batch_size))
+opt = make_optimizer(cfg.train.lr_init * _lr_scale, cfg.train.lr_dacey,
+                     _steps_per_epoch)
 state = create_train_state(params, [0.999, 0.9999], opt)
 step = jax.jit(make_train_step(model.apply, opt, train_step_config_from(cfg)),
                donate_argnums=(0,))
 sampler = get_mc_sampler(cfg)
 
+# metric columns recorded per eval: distribution metrics + the bbox branch
+# (grounded boxes are half the paper's contribution: F1 per
+# sampler_node_adj.py:507-552, BLT IOA per :482-505)
 KEEP = ('node_degree_mmd_gaussian', 'node_type_mmd_gaussian',
         'edge_type_mmd_gaussian', 'triplet_tv_dist_full_val',
-        'triplet_tv_dist_rej_val', 'bbox_vanilla_f1_avg_max')
+        'triplet_tv_dist_rej_val',
+        'vanilla_f1_avg_max', 'area_f1_avg_max', 'freq_f1_avg_max',
+        'no_node_type_f1_avg_max',
+        'pred_iou_blt', 'pred_iou_percp_blt', 'pred_overlap_blt',
+        'pred_alignment_blt',
+        'gt_iou_blt', 'gt_iou_percp_blt', 'gt_overlap_blt',
+        'gt_alignment_blt')
 
 
 def _eval(tag, p, epoch, sanity=False):
@@ -110,4 +126,10 @@ while done < STEPS:
     epoch += 1
 
 print(f'trained {done} steps in {time.time()-t0:.0f}s', flush=True)
+# persist the full trained state so downstream evals (e.g. the conditional-
+# completion quality eval) can reuse these weights without retraining
+from diffusesg_tpu.utils.checkpoint import save_checkpoint
+save_checkpoint(os.path.join(OUT, 'ckpt_final'), state)
+print(f'checkpoint saved to {os.path.join(OUT, "ckpt_final")}', flush=True)
 _eval("final_ema0.999", jax.device_get(ema_slice(state.ema_params, 0)), epoch + 3)
+_eval("final_ema0.9999", jax.device_get(ema_slice(state.ema_params, -1)), epoch + 4)

@@ -82,3 +82,23 @@ def test_v3_gradients_flow_through_custom_vjp():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_x),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_plan_v3_exact_mask_accounting():
+    """Round-4: the shifted-window mask tile is counted exactly and only for
+    masked (shifted) blocks — no 4 MB allowance constant.  The shipped,
+    chip-validated plans are unchanged under the exact model (re-verified on
+    TPU, BASELINE.md round-4)."""
+    # the only geometries that actually carry a mask in the shipped configs
+    # (shift>0 exists only on odd block indices of the depth>1 stages):
+    # VG 16x16/c384 and COCO 20x20/c192
+    assert _plan_v3(64, 16, 16, 384, 8, 12, 1536, has_mask=True) == (1, 2, 2, 6, True)
+    assert _plan_v3(64, 20, 20, 192, 10, 6, 768, has_mask=True) == (1, 2, 2, 6, True)
+    # unmasked plans can never be smaller than masked ones (monotonicity:
+    # the mask only ADDs VMEM)
+    for b, r, c, w, nh in [(64, 64, 96, 8, 3), (64, 32, 192, 8, 6),
+                           (64, 16, 384, 8, 12), (64, 40, 96, 10, 3),
+                           (64, 20, 192, 10, 6), (128, 64, 96, 8, 3)]:
+        pm = _plan_v3(b, r, r, c, w, nh, 4 * c, has_mask=True)
+        pu = _plan_v3(b, r, r, c, w, nh, 4 * c, has_mask=False)
+        assert pu[0] * pu[1] >= pm[0] * pm[1], (b, r, c)
