@@ -10,10 +10,10 @@ total).  See BASELINE.md for the measurement provenance.
 
 Env knobs: BENCH_STEPS (default 1000), BENCH_BATCH (default 64),
 BENCH_DTYPE (default bfloat16), BENCH_PALLAS (default 1),
-BENCH_CONFIG (vg | coco, default vg), BENCH_ARTIFACT=<dir> (fast
-re-verification: persist/load the AOT-compiled serving executable instead
-of re-jitting; first run builds it, later runs reach the first timed eval
-in seconds).
+BENCH_CONFIG (vg | coco, default vg), BENCH_ARTIFACT (AOT-artifact path:
+persist/load the compiled serving executable instead of re-jitting; ON BY
+DEFAULT for headline captures — steps=1000, unchunked — at
+.bench_artifact/<config>; set a custom dir, or 0 to force live-jit).
 """
 from __future__ import annotations
 
@@ -127,6 +127,19 @@ def main():
     # Stale artifacts (different config/batch/steps/dtype/backend/jax) are
     # rebuilt automatically.
     artifact_dir = os.environ.get("BENCH_ARTIFACT")
+    if artifact_dir in ("0", "off", "none"):
+        artifact_dir = None
+    elif not artifact_dir and steps == 1000 and not chunk:
+        # DEFAULT for headline captures (round-3 VERDICT weak #2: every
+        # driver run paid the ~2 min re-jit over the single-tenant tunnel
+        # while the 6 s artifact path sat opt-in).  First run builds and
+        # persists the executable under the repo; later runs load it.
+        # Non-headline parameter sweeps stay live-jit so variant artifacts
+        # (~800 MB each) don't accumulate; BENCH_ARTIFACT=<dir> forces a
+        # custom location, BENCH_ARTIFACT=0 disables.
+        artifact_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".bench_artifact", config_name)
     if artifact_dir and chunk:
         # the artifact is one monolithic AOT program; it cannot honor the
         # chunked-dispatch knob, so the chunk request wins (see BENCH_CHUNK

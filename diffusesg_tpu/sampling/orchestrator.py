@@ -485,13 +485,18 @@ def write_artifacts(res, metrics, config, bundle, epoch, eval_mode, sanity_check
         # retrieval panels: generated layouts beside their best-F1 GT match
         # (reference: sampler_node_adj.py:554-573, one panel per F1 weighting)
         if metrics.get("_mat_f1") and "bbox" in res and "q_node" in res:
+            # num_plots = panel FILES per weighting, two scene graphs each
+            # (reference passes 8; default 2 keeps checkpoint evals cheap —
+            # test.num_retrieval_plots restores the reference count)
+            n_panels = int(config.test.get("num_retrieval_plots", 2))
             for name, mat in metrics["_mat_f1"].items():
                 plot_scene_graph_bbox(
                     res["q_node"], res["bbox"], res["q_adj"],
                     res["q_node_gt"], res["bbox_gt"], res["q_adj_gt"],
                     mat, res["flags"], res["flags_gt"], bundle.idx_to_word,
                     save_dir=outdir,
-                    title=f"bbox_{name}_f1_{stamp}_{mode_tag}.png", num_plots=8)
+                    title=f"bbox_{name}_f1_{stamp}_{mode_tag}.png",
+                    num_plots=n_panels)
     except Exception as e:  # plotting must never kill an eval run
         logging.warning("scene-graph plotting failed: %s", e)
 

@@ -53,4 +53,35 @@ def test_plot_graphs_adj_and_bbox_retrieval(tmp_path):
     plot_scene_graph_bbox(types, bboxes, adjs, types, bboxes, adjs, mat_f1,
                           flags, flags, IDX, save_dir=str(tmp_path),
                           title="bbox.png", num_plots=2)
-    assert os.path.exists(tmp_path / "bbox.png")
+    # reference artifact naming: one '{i:02d}_<title>' panel file per pair of
+    # scene graphs + the shared F1 histogram (visual_utils.py:386-398);
+    # with only 2 graphs, plot file 1 (needing graphs 2-3) is skipped
+    assert os.path.exists(tmp_path / "00_bbox.png")
+    assert not os.path.exists(tmp_path / "01_bbox.png")
+    assert os.path.exists(tmp_path / "f1_score_distribution.png")
+
+
+def test_bbox_canvas_reference_structure():
+    """The PIL canvas structurally matches a reference render on the same
+    inputs (visual_utils.py:300-320): white 400x400, a colored outline on the
+    box border, a filled label chip at the box's top-left corner."""
+    from diffusesg_tpu.utils.visual import bbox_canvas
+    types = np.array([1, 2])
+    # two crisp boxes: (cx=.5, cy=.5, w=.5, h=.5) and (cx=.25, cy=.25, ...)
+    boxes = np.array([[0.5, 0.5, 0.5, 0.5], [0.25, 0.25, 0.2, 0.2]])
+    canvas = bbox_canvas(types, boxes, 2, IDX["ind_to_classes"])
+    assert canvas.size == (400, 400)
+    px = np.asarray(canvas)
+    assert px.shape == (400, 400, 3)
+    # background is white
+    assert (px[390, 390] == 255).all()
+    # box 0 spans x,y in [100, 300]: its bottom edge (y=299/300) is a colored
+    # (non-white) outline
+    assert (px[299:301, 200] < 255).any()
+    # the 50x10 label chip at the box's top-left corner is filled (non-white)
+    chip = px[101:109, 105:145]
+    assert (chip < 250).any(axis=-1).mean() > 0.9
+    # degenerate boxes are skipped, like the reference's x2>x1,y2>y1 guard
+    canvas2 = bbox_canvas(np.array([1]), np.array([[0.0, 0.0, 0.0, 0.0]]), 1,
+                          IDX["ind_to_classes"])
+    assert (np.asarray(canvas2) == 255).all()
