@@ -34,8 +34,14 @@ from .edm_sampler import NodeAdjEDMSampler
 def make_sample_fn(model, params, sampler: NodeAdjEDMSampler,
                    num_node_chan: int, num_edge_chan: int,
                    sanity_check: bool = False, precond: str = "edm",
-                   num_interim: int = 0, mesh=None):
+                   num_interim: int = 0, mesh=None, inpaint: bool = False):
     """Build a jittable (rng, node_flags[, gt_a, gt_x]) -> (adjs, nodes) fn.
+
+    ``inpaint`` builds the conditional-completion variant instead:
+    (rng, node_flags, gt_a, gt_x, mask_a, mask_x) -> (adjs, nodes), where
+    masked-true entries of gt_a/gt_x are carried exactly through the reverse
+    diffusion (the generalization of the reference's init_adjs/init_nodes
+    hooks, reference: DiffuseSG/runner/mcmc_sampler/edm.py:291-329).
 
     ``precond`` selects the preconditioning family (config.mcmc.precond;
     reference wires it through get_mc_sampler/objective construction).
@@ -61,6 +67,19 @@ def make_sample_fn(model, params, sampler: NodeAdjEDMSampler,
                                   num_node_chan, num_edge_chan,
                                   num_interim=num_interim)
         n_in = 4
+    elif inpaint:
+        def sample_fn(rng, node_flags, gt_a, gt_x, mask_a, mask_x):
+            def denoiser(a, x, sigmas, sc_a, sc_x):
+                def model_fn(aa, xx, flags, c_noise, s_a, s_x):
+                    return model.apply(params, aa, xx, flags, c_noise, s_a, s_x)
+                return precond_forward(model_fn, precond, a, x, node_flags, sigmas,
+                                       sc_a, sc_x)
+            return sampler.sample(denoiser, rng, node_flags,
+                                  num_node_chan, num_edge_chan,
+                                  num_interim=num_interim,
+                                  inpaint=dict(gt_adjs=gt_a, gt_nodes=gt_x,
+                                               mask_adjs=mask_a, mask_nodes=mask_x))
+        n_in = 6
     else:
         def sample_fn(rng, node_flags):
             def denoiser(a, x, sigmas, sc_a, sc_x):

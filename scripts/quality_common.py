@@ -1,0 +1,40 @@
+"""Shared config construction for the quality-run scripts.
+
+Both scripts/train_quality_tpu.py and scripts/eval_inpaint_quality_tpu.py
+must resolve the SAME config from the QUALITY_* env knobs so a checkpoint
+trained by the former restores shape-exactly in the latter.
+"""
+import os
+
+_CFGS = {'vg': 'configs/edm_diffuse_sg_regular_visual_genome.yaml',
+         'coco': 'configs/edm_diffuse_sg_regular_coco.yaml'}
+
+
+def quality_config(out_dir: str):
+    from diffusesg_tpu.config import load_config
+    cfg = load_config(_CFGS[os.environ.get('QUALITY_CONFIG', 'vg')])
+    with cfg.unlocked():
+        cfg.exp_dir = out_dir
+        cfg.logdir = os.path.join(out_dir, 'run')
+        cfg.tpu.compute_dtype = 'bfloat16'
+        cfg.tpu.use_pallas_attention = True
+        # small graphs -> fast steps, real learning; must be a multiple of
+        # the config's window size (VG window 8 -> 16, COCO window 10 -> 20).
+        # QUALITY_MAX_NODES=64 runs the full headline geometry instead.
+        cfg.dataset.max_node_num = int(os.environ.get(
+            'QUALITY_MAX_NODES', 2 * cfg.model.window_size))
+        cfg.dataset.subset = 512
+        cfg.train.batch_size = 64
+        cfg.test.batch_size = 128
+        cfg.test.eval_size = 256
+        cfg.mcmc.num_steps = 100
+        # the reference's ACTUAL training recipe overrides the yaml defaults
+        # (README.md:62-76: --node_encoding bits --edge_encoding bits
+        # --iou_loss_type giou): round-3 diagnosis showed the yaml's ddpm
+        # node encoding (one scalar quantized into 150 intervals of width
+        # 0.013) never learns the type marginal — which is precisely why the
+        # paper runs bits
+        cfg.train.node_encoding = os.environ.get('QUALITY_NODE_ENC', 'bits')
+        cfg.train.edge_encoding = os.environ.get('QUALITY_EDGE_ENC', 'bits')
+        cfg.train.iou_loss_type = 'giou'
+    return cfg

@@ -11,7 +11,6 @@ Run: python scripts/train_quality_tpu.py  (one TPU process at a time).
 import sys, os, time, json
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
-from diffusesg_tpu.config import load_config
 from diffusesg_tpu.data import load_data, Batches
 from diffusesg_tpu.models import build_model
 from diffusesg_tpu.models.factory import init_params
@@ -25,33 +24,9 @@ OUT = os.environ.get("QUALITY_DIR", "/tmp/quality")
 STEPS = int(os.environ.get("QUALITY_STEPS", 12000))
 EVAL_EVERY = int(os.environ.get("QUALITY_EVAL_EVERY", 4000))
 
-_CFGS = {'vg': 'configs/edm_diffuse_sg_regular_visual_genome.yaml',
-         'coco': 'configs/edm_diffuse_sg_regular_coco.yaml'}
-cfg = load_config(_CFGS[os.environ.get('QUALITY_CONFIG', 'vg')])
-with cfg.unlocked():
-    cfg.exp_dir = OUT
-    cfg.logdir = os.path.join(OUT, 'run')
-    cfg.tpu.compute_dtype = 'bfloat16'
-    cfg.tpu.use_pallas_attention = True
-    # small graphs -> fast steps, real learning; must be a multiple of the
-    # config's window size (VG window 8 -> 16, COCO window 10 -> 20).
-    # QUALITY_MAX_NODES=64 runs the full headline geometry instead.
-    cfg.dataset.max_node_num = int(os.environ.get(
-        'QUALITY_MAX_NODES', 2 * cfg.model.window_size))
-    cfg.dataset.subset = 512
-    cfg.train.batch_size = 64
-    cfg.test.batch_size = 128
-    cfg.test.eval_size = 256
-    cfg.mcmc.num_steps = 100
-    # the reference's ACTUAL training recipe overrides the yaml defaults
-    # (README.md:62-76: --node_encoding bits --edge_encoding bits
-    # --iou_loss_type giou): round-3 diagnosis showed the yaml's ddpm node
-    # encoding (one scalar quantized into 150 intervals of width 0.013)
-    # never learns the type marginal — which is precisely why the paper
-    # runs bits
-    cfg.train.node_encoding = os.environ.get('QUALITY_NODE_ENC', 'bits')
-    cfg.train.edge_encoding = os.environ.get('QUALITY_EDGE_ENC', 'bits')
-    cfg.train.iou_loss_type = 'giou'
+from quality_common import quality_config  # noqa: E402 — sys.path set above
+
+cfg = quality_config(OUT)
 os.makedirs(cfg.logdir, exist_ok=True)
 bundle = load_data(cfg, data_root='/nonexistent')
 model = build_model(cfg)

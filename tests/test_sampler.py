@@ -217,3 +217,34 @@ def test_chunked_sampling_matches_monolithic(rng):
                           chunk_steps=5)
     np.testing.assert_allclose(np.asarray(mono[0]), np.asarray(chunked[0]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(mono[1]), np.asarray(chunked[1]), atol=1e-6)
+
+
+def test_make_sample_fn_inpaint_wiring(rng):
+    """orchestrator.make_sample_fn(inpaint=True) builds the conditional-
+    completion sampler: (rng, flags, gt_a, gt_x, mask_a, mask_x), carried
+    entries exact (round-4: used by scripts/eval_inpaint_quality_tpu.py)."""
+    from diffusesg_tpu.sampling.orchestrator import make_sample_fn
+
+    class _Stub:
+        def apply(self, params, a, x, flags, c_noise, sc_a, sc_x):
+            return jnp.tanh(a), jnp.tanh(x)
+
+    b, n = 2, 8
+    flags = jnp.ones((b, n), dtype=bool)
+    rs = np.random.RandomState(3)
+    gt_adjs = jnp.asarray(rs.uniform(-1, 1, (b, n, n)).astype(np.float32))
+    gt_nodes = jnp.asarray(rs.uniform(-1, 1, (b, n, 5)).astype(np.float32))
+    known = np.zeros((b, n), dtype=bool)
+    known[:, : n // 2] = True
+    mask_x = jnp.asarray(known)
+    mask_a = jnp.asarray(known[:, :, None] & known[:, None, :])
+
+    samp = _sampler(num_steps=6)
+    fn = make_sample_fn(_Stub(), {}, samp, 5, 1, inpaint=True)
+    adjs, nodes = fn(rng, flags, gt_adjs, gt_nodes, mask_a, mask_x)
+    ma, mx = np.asarray(mask_a), np.asarray(mask_x)
+    np.testing.assert_allclose(np.asarray(adjs)[ma], np.asarray(gt_adjs)[ma],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nodes)[mx], np.asarray(gt_nodes)[mx],
+                               atol=1e-6)
+    assert not np.allclose(np.asarray(adjs)[~ma], np.asarray(gt_adjs)[~ma])
