@@ -66,16 +66,33 @@ def _eval(tag, p, epoch, sanity=False):
     return row
 
 
-# the dataset's own level: GT-as-denoiser sanity sampling (reference trick,
-# trainer_node_adj.py:279-280) gives the floor the metrics should approach
-_eval("sanity_gt", params, 0, sanity=True)
-_eval("untrained", params, 1)
+# Preemption safety: the TPU tunnel (or the driving session) can die hours
+# into a run, so every eval point also persists a resume checkpoint.  Eval
+# points land on epoch boundaries (EVAL_EVERY and subset/batch are both
+# powers-of-two multiples), so resume restarts cleanly at the next epoch.
+from diffusesg_tpu.utils.checkpoint import (restore_checkpoint,
+                                            save_checkpoint,
+                                            state_from_payload)
+RESUME = os.path.join(OUT, 'ckpt_resume')
+start_done = 0
+if os.path.isdir(RESUME):
+    payload = restore_checkpoint(RESUME, state)
+    state = state_from_payload(payload)
+    start_done = int(payload["extra"]["done"])
+    print(f'resumed from {RESUME} at step {start_done}', flush=True)
+else:
+    # the dataset's own level: GT-as-denoiser sanity sampling (reference
+    # trick, trainer_node_adj.py:279-280) = the floor metrics approach
+    _eval("sanity_gt", params, 0, sanity=True)
+    _eval("untrained", params, 1)
 
 batches = Batches(bundle.train, cfg.train.batch_size, shuffle=True, seed=0)
-rng = jax.random.PRNGKey(1)
+_steps_per_epoch_int = len(bundle.train) // cfg.train.batch_size or 1
+assert start_done % _steps_per_epoch_int == 0, (start_done, _steps_per_epoch_int)
+rng = jax.random.fold_in(jax.random.PRNGKey(1), start_done)
 t0 = time.time()
-done = 0
-epoch = 0
+done = start_done
+epoch = start_done // _steps_per_epoch_int
 while done < STEPS:
     batches.set_epoch(epoch)
     for adjs, nodes, flags, _ in batches:
@@ -96,6 +113,8 @@ while done < STEPS:
                   jax.device_get(ema_slice(state.ema_params, 0)), epoch + 2)
             _eval(f"step{done}_ema0.9999",
                   jax.device_get(ema_slice(state.ema_params, -1)), epoch + 3)
+            save_checkpoint(RESUME, state, extra={"done": done})
+            print(f'resume checkpoint at step {done}', flush=True)
         if done >= STEPS:
             break
     epoch += 1
