@@ -229,7 +229,12 @@ def load_data(config, eval_mode: bool = False, data_root: str = ".") -> SceneGra
         from .synthetic import synthetic_bundle_dicts
         logging.info("dataset pickles not found under %s - using synthetic data", data_root)
         train_data, test_data, train_stats, test_stats, idx_to_word = synthetic_bundle_dicts(
-            name, config.dataset.max_node_num, seed=config.seed)
+            name, config.dataset.max_node_num, seed=config.seed,
+            # opt-in within-graph type/size clustering (Dirichlet
+            # concentration; see synthetic.synthetic_scene_graphs) — makes
+            # graph halves mutually informative so conditional completion
+            # is measurably better than unconditional sampling
+            per_graph_alpha=config.dataset.get("synthetic_per_graph_alpha", None))
     else:
         train_data = pickle.load(open(paths["train_pkl"], "rb"))
         test_data = pickle.load(open(paths["test_pkl"], "rb"))

@@ -19,7 +19,8 @@ from ..models.channels import dataset_constants
 def synthetic_scene_graphs(num_graphs: int, max_nodes: int, num_node_type: int,
                            num_edge_type: int, seed: int = 0,
                            min_nodes: int = 2,
-                           pop_seed: int | None = None) -> list[dict]:
+                           pop_seed: int | None = None,
+                           per_graph_alpha: float | None = None) -> list[dict]:
     rs = np.random.RandomState(seed)
     # skewed type popularity, like real VG/COCO long-tail distributions.
     # pop_seed decouples the DISTRIBUTION (the dirichlet popularity vectors)
@@ -41,20 +42,35 @@ def synthetic_scene_graphs(num_graphs: int, max_nodes: int, num_node_type: int,
     data = []
     for g in range(num_graphs):
         n = int(rs.randint(min_nodes, max_nodes + 1))
-        labels = rs.choice(num_node_type, size=n, p=node_pop)
+        # per_graph_alpha > 0 turns on WITHIN-GRAPH correlation: each graph
+        # draws its own popularity vector ~ Dirichlet(global_pop * alpha) and
+        # a graph-level bbox size factor, so the two halves of a graph share
+        # information (real scenes cluster types: a street image is full of
+        # cars).  With the default (None) the streams are bit-identical to
+        # before and halves are conditionally independent given n — in that
+        # regime conditional completion can only MATCH unconditional
+        # quality, never beat it (used by the inpaint-quality eval to pick
+        # the right null hypothesis).  Smaller alpha = stronger clustering.
+        if per_graph_alpha is not None:
+            node_pop_g = rs.dirichlet(node_pop * per_graph_alpha + 1e-4)
+            edge_pop_g = rs.dirichlet(edge_pop * per_graph_alpha + 1e-4)
+            size_g = rs.uniform(0.6, 1.4)
+        else:
+            node_pop_g, edge_pop_g, size_g = node_pop, edge_pop, 1.0
+        labels = rs.choice(num_node_type, size=n, p=node_pop_g)
         edge_map = np.zeros((n, n), dtype=np.int64)
         # sparse preferential edges; symmetric-free directed predicates
         p_edge = min(0.9, 2.5 / max(n - 1, 1))
         for i in range(n):
             for j in range(n):
                 if i != j and rs.rand() < p_edge:
-                    edge_map[i, j] = 1 + rs.choice(max(num_edge_type - 1, 1), p=edge_pop)
+                    edge_map[i, j] = 1 + rs.choice(max(num_edge_type - 1, 1), p=edge_pop_g)
         # bboxes: centers anywhere, sizes correlated with type popularity
         cx = rs.uniform(0.2, 0.8, size=n)
         cy = rs.uniform(0.2, 0.8, size=n)
         scale = 0.1 + 0.5 * node_pop[labels] / node_pop.max()
-        w = np.clip(rs.uniform(0.05, 0.4, size=n) * (0.5 + scale), 0.02, 0.95)
-        h = np.clip(rs.uniform(0.05, 0.4, size=n) * (0.5 + scale), 0.02, 0.95)
+        w = np.clip(rs.uniform(0.05, 0.4, size=n) * (0.5 + scale) * size_g, 0.02, 0.95)
+        h = np.clip(rs.uniform(0.05, 0.4, size=n) * (0.5 + scale) * size_g, 0.02, 0.95)
         w = np.minimum(w, 2 * np.minimum(cx, 1 - cx))
         h = np.minimum(h, 2 * np.minimum(cy, 1 - cy))
         bboxes = np.stack([cx, cy, w, h], axis=-1)
@@ -105,16 +121,19 @@ def compute_stats_dicts(data: list[dict], num_node_type: int | None = None) -> d
 
 
 def synthetic_bundle_dicts(dataset_name: str, max_node_num: int, seed: int = 0,
-                           num_train: int = 256, num_test: int = 128):
+                           num_train: int = 256, num_test: int = 128,
+                           per_graph_alpha: float | None = None):
     """(train_data, test_data, train_stats, test_stats, idx_to_word)."""
     num_node_type, num_edge_type, num_allowed = dataset_constants(dataset_name)
     max_n = min(max_node_num, num_allowed)
     # shared pop_seed: train and test are iid draws from ONE distribution
     # (like a real dataset split); only the graph-draw seeds differ
     train = synthetic_scene_graphs(num_train, max_n, num_node_type, num_edge_type,
-                                   seed=seed, pop_seed=seed)
+                                   seed=seed, pop_seed=seed,
+                                   per_graph_alpha=per_graph_alpha)
     test = synthetic_scene_graphs(num_test, max_n, num_node_type, num_edge_type,
-                                  seed=seed + 1, pop_seed=seed)
+                                  seed=seed + 1, pop_seed=seed,
+                                  per_graph_alpha=per_graph_alpha)
     idx_to_word = {
         "ind_to_classes": [f"obj_{i}" for i in range(num_node_type)],
         "ind_to_predicates": [f"rel_{i}" for i in range(num_edge_type)],

@@ -147,11 +147,58 @@ m_c = heldout_metrics("cond_completed_vs_gt_heldout", node_c, adj_c, bbox_c,
                       ho, node_g, adj_g, bbox_g, ho)
 m_u = heldout_metrics("uncond_vs_gt_heldout", node_u, adj_u, bbox_u, ho,
                       node_g, adj_g, bbox_g, ho)
-wins = sum(1 for k in ("node_type_mmd_gaussian", "edge_type_mmd_gaussian",
-                       "node_degree_mmd_gaussian")
-           if m_c.get(k, 1) < m_u.get(k, 1))
-wins += int(m_c["vanilla_f1_avg_max"] > m_u["vanilla_f1_avg_max"])
-print(json.dumps({"tag": "summary", "cond_wins": wins, "of": 4,
+
+
+# ---- 3. PAIRED per-graph metrics: completed half of graph i vs the GT
+# held-out half of the SAME graph i.  The distributional rows above cannot
+# separate cond from uncond when graph halves are independent (a perfect
+# unconditional model matches the marginal); the paired scores measure
+# whether the sampler USED the known half.  With within-graph correlation
+# in the data (QUALITY_SYNTH_ALPHA, data/synthetic.py) conditional must
+# win; without it both tie at the marginal — that tie is the null result,
+# not a bug.  (Reference surface: init_adjs/init_nodes conditioning,
+# /root/reference/DiffuseSG/runner/mcmc_sampler/edm.py:291-329.)
+def paired_metrics(tag, node, adj, bbox):
+    K = info["raw_num_node_type"]
+    E = info["raw_num_adj_type"]
+    d_type, d_edge, d_area = [], [], []
+    for i in range(len(node)):
+        m = ho[i]
+        if m.sum() == 0:
+            continue
+        h_c = np.bincount(node[i][m], minlength=K) / m.sum()
+        h_g = np.bincount(node_g[i][m], minlength=K) / m.sum()
+        d_type.append(0.5 * np.abs(h_c - h_g).sum())
+        mp = ho_pair[i]
+        e_c = adj[i][mp].astype(np.int64)
+        e_g = adj_g[i][mp].astype(np.int64)
+        if (e_g > 0).any() or (e_c > 0).any():
+            he_c = np.bincount(e_c[e_c > 0], minlength=E)
+            he_g = np.bincount(e_g[e_g > 0], minlength=E)
+            he_c = he_c / max(he_c.sum(), 1)
+            he_g = he_g / max(he_g.sum(), 1)
+            d_edge.append(0.5 * np.abs(he_c - he_g).sum())
+        area_c = (bbox[i][m][:, 2] * bbox[i][m][:, 3]).mean()
+        area_g = (bbox_g[i][m][:, 2] * bbox_g[i][m][:, 3]).mean()
+        d_area.append(abs(float(area_c - area_g)))
+    m = {"paired_type_hist_l1": float(np.mean(d_type)),
+         "paired_edge_hist_l1": float(np.mean(d_edge)) if d_edge else -1.0,
+         "paired_area_err": float(np.mean(d_area))}
+    print(json.dumps({"tag": tag, **{k: round(v, 4) for k, v in m.items()}}),
+          flush=True)
+    return m
+
+
+p_c = paired_metrics("paired_cond", node_c, adj_c, bbox_c)
+p_u = paired_metrics("paired_uncond", node_u, adj_u, bbox_u)
+
+paired_wins = sum(1 for k in p_c if p_c[k] >= 0 and p_c[k] < p_u[k])
+dist_wins = sum(1 for k in ("node_type_mmd_gaussian", "edge_type_mmd_gaussian",
+                            "node_degree_mmd_gaussian")
+                if m_c.get(k, 1) < m_u.get(k, 1))
+dist_wins += int(m_c["vanilla_f1_avg_max"] > m_u["vanilla_f1_avg_max"])
+print(json.dumps({"tag": "summary", "paired_cond_wins": paired_wins,
+                  "paired_of": 3, "dist_cond_wins": dist_wins, "dist_of": 4,
                   "carry_exact": carry["node_mismatch"] == 0
                   and carry["adj_mismatch"] == 0
                   and carry["bbox_max_err"] < 1e-5}), flush=True)

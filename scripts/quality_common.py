@@ -37,4 +37,12 @@ def quality_config(out_dir: str):
         cfg.train.node_encoding = os.environ.get('QUALITY_NODE_ENC', 'bits')
         cfg.train.edge_encoding = os.environ.get('QUALITY_EDGE_ENC', 'bits')
         cfg.train.iou_loss_type = 'giou'
+        # QUALITY_SYNTH_ALPHA: within-graph clustering strength for the
+        # synthetic data (Dirichlet concentration, smaller = stronger;
+        # unset = off).  Used by the conditional-completion quality eval:
+        # only correlated halves make "conditional beats unconditional"
+        # demonstrable (see data/synthetic.py).
+        _alpha = os.environ.get('QUALITY_SYNTH_ALPHA')
+        if _alpha:
+            cfg.dataset.synthetic_per_graph_alpha = float(_alpha)
     return cfg

@@ -73,6 +73,52 @@ def test_synthetic_splits_share_population():
                for x, y in zip(a, b)), "graph draws must differ across seeds"
 
 
+def test_synthetic_per_graph_alpha_correlates_halves():
+    """per_graph_alpha turns on WITHIN-graph clustering (types drawn from a
+    per-graph Dirichlet) so the two halves of a graph become mutually
+    informative — the property the conditional-completion quality eval
+    needs (scripts/eval_inpaint_quality_tpu.py).  Default (None) must keep
+    the streams bit-identical to the uncorrelated generator."""
+    base = synthetic_scene_graphs(64, 16, 30, 5, seed=5, pop_seed=5)
+    same = synthetic_scene_graphs(64, 16, 30, 5, seed=5, pop_seed=5,
+                                  per_graph_alpha=None)
+    for x, y in zip(base, same):
+        np.testing.assert_array_equal(x["node_labels"], y["node_labels"])
+        np.testing.assert_array_equal(x["edge_map"], y["edge_map"])
+        np.testing.assert_array_equal(x["node_bboxes_xcyc"], y["node_bboxes_xcyc"])
+
+    corr = synthetic_scene_graphs(512, 16, 30, 5, seed=5, pop_seed=5,
+                                  per_graph_alpha=2.0)
+
+    def half_hist_dist(data, k=30, paired=True):
+        """Mean L1 between first-half and second-half type histograms —
+        paired (same graph) vs shuffled (across graphs)."""
+        hists = []
+        for item in data:
+            lab = item["node_labels"]
+            n = len(lab)
+            if n < 4:
+                continue
+            h1 = np.bincount(lab[: n // 2], minlength=k) / (n // 2)
+            h2 = np.bincount(lab[n // 2:], minlength=k) / (n - n // 2)
+            hists.append((h1, h2))
+        firsts = np.array([h[0] for h in hists])
+        seconds = np.array([h[1] for h in hists])
+        if not paired:
+            seconds = np.roll(seconds, 1, axis=0)  # mismatched graphs
+        return np.abs(firsts - seconds).sum(-1).mean() / 2
+
+    d_paired = half_hist_dist(corr, paired=True)
+    d_shuf = half_hist_dist(corr, paired=False)
+    # with clustering, a graph's own second half is much closer to its first
+    # half than another graph's is
+    assert d_paired < 0.8 * d_shuf, (d_paired, d_shuf)
+    # uncorrelated generator: paired ~ shuffled (both draw from the global pop)
+    d_paired0 = half_hist_dist(base, paired=True)
+    d_shuf0 = half_hist_dist(base, paired=False)
+    assert d_paired0 > 0.9 * d_shuf0, (d_paired0, d_shuf0)
+
+
 def test_build_tensors_ddpm_bbox():
     data = synthetic_scene_graphs(12, 8, 20, 5, seed=1)
     ds = build_tensors(data, max_node_num=8, num_node_attr_type=20,
