@@ -19,6 +19,12 @@ One TPU process at a time.  Prints one JSON line per row.
 import sys, os, json
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
+try:  # persistent compile cache (same knobs bench.py uses)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
 from quality_common import quality_config
 from diffusesg_tpu.data import load_data
 from diffusesg_tpu.models import build_model

@@ -11,6 +11,13 @@ Run: python scripts/train_quality_tpu.py  (one TPU process at a time).
 import sys, os, time, json
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
+try:  # persistent compile cache: relaunches/resumes skip the multi-minute
+    # remote XLA compiles (same knobs bench.py uses)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
 from diffusesg_tpu.data import load_data, Batches
 from diffusesg_tpu.models import build_model
 from diffusesg_tpu.models.factory import init_params
