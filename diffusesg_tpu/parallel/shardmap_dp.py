@@ -95,6 +95,14 @@ def make_shardmap_sample_fn(model, params, sampler, num_node_chan: int,
     from .mesh import replicate_tree
 
     params = replicate_tree(params, mesh)
+    key = (model, sampler, num_node_chan, num_edge_chan, mesh, precond,
+           num_interim, axis_name)
+    try:
+        jitted = _SHARDMAP_SAMPLE_CACHE.get(key)
+    except TypeError:
+        jitted, key = None, None
+    if jitted is not None:
+        return lambda rng, node_flags: jitted(params, rng, node_flags)
 
     def local_fn(p, rng, node_flags):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
@@ -115,4 +123,12 @@ def make_shardmap_sample_fn(model, params, sampler, num_node_chan: int,
                        in_specs=(P(), P(), b0), out_specs=out_specs,
                        check_vma=False)
     jitted = jax.jit(sm)
+    if key is not None:
+        _SHARDMAP_SAMPLE_CACHE[key] = jitted
     return lambda rng, node_flags: jitted(params, rng, node_flags)
+
+
+# one jitted program per (model, sampler, geometry, mesh) configuration:
+# successive checkpoint evals (fresh EMA weights, same shapes) reuse it
+# instead of re-tracing (see orchestrator._build_sample_fn for the history)
+_SHARDMAP_SAMPLE_CACHE: dict = {}

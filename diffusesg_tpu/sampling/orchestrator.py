@@ -14,7 +14,7 @@ from __future__ import annotations
 import logging
 import os
 import time
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +29,77 @@ from ..ops.masking import mask_nodes
 from ..parallel.mesh import gather_to_host, is_main_process
 from .decode import decode_samples
 from .edm_sampler import NodeAdjEDMSampler
+
+
+_SAMPLE_FN_CACHE: dict = {}
+
+
+def _build_sample_fn(model, sampler: NodeAdjEDMSampler, num_node_chan: int,
+                     num_edge_chan: int, sanity_check: bool, precond: str,
+                     num_interim: int, mesh, inpaint: bool):
+    """Jitted (params, rng, node_flags, ...) -> (adjs, nodes), cached per
+    configuration.  Params are a CALL argument, never a closure constant:
+    baking them in would embed the weight values into the HLO, so every eval
+    with fresh EMA weights would miss both jit's in-memory cache and the
+    persistent compile cache and pay a full (multi-minute, over the tunnel)
+    recompile — measured as ~3 min per checkpoint eval before this fix."""
+    key = (model, sampler, num_node_chan, num_edge_chan, sanity_check,
+           precond, num_interim, mesh, inpaint)
+    try:
+        hit = _SAMPLE_FN_CACHE.get(key)
+    except TypeError:        # unhashable component: fall back to uncached
+        hit, key = None, None
+    if hit is not None:
+        return hit
+
+    if sanity_check:
+        # GT-as-denoiser fixture (reference: edm.py:375-377); params unused
+        def sample_fn(params, rng, node_flags, gt_a, gt_x):
+            def gt_denoiser(a, x, sigmas, sc_a, sc_x):
+                return gt_a.astype(jnp.float32), gt_x.astype(jnp.float32)
+            return sampler.sample(gt_denoiser, rng, node_flags,
+                                  num_node_chan, num_edge_chan,
+                                  num_interim=num_interim)
+        n_in = 4
+    elif inpaint:
+        def sample_fn(params, rng, node_flags, gt_a, gt_x, mask_a, mask_x):
+            def denoiser(a, x, sigmas, sc_a, sc_x):
+                def model_fn(aa, xx, flags, c_noise, s_a, s_x):
+                    return model.apply(params, aa, xx, flags, c_noise, s_a, s_x)
+                return precond_forward(model_fn, precond, a, x, node_flags, sigmas,
+                                       sc_a, sc_x)
+            return sampler.sample(denoiser, rng, node_flags,
+                                  num_node_chan, num_edge_chan,
+                                  num_interim=num_interim,
+                                  inpaint=dict(gt_adjs=gt_a, gt_nodes=gt_x,
+                                               mask_adjs=mask_a, mask_nodes=mask_x))
+        n_in = 6
+    else:
+        def sample_fn(params, rng, node_flags):
+            def denoiser(a, x, sigmas, sc_a, sc_x):
+                def model_fn(aa, xx, flags, c_noise, s_a, s_x):
+                    return model.apply(params, aa, xx, flags, c_noise, s_a, s_x)
+                return precond_forward(model_fn, precond, a, x, node_flags, sigmas,
+                                       sc_a, sc_x)
+            return sampler.sample(denoiser, rng, node_flags,
+                                  num_node_chan, num_edge_chan,
+                                  num_interim=num_interim)
+        n_in = 2
+
+    if mesh is None:
+        jitted = jax.jit(sample_fn)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        batch0 = NamedSharding(mesh, P("data"))   # batch-major arrays
+        batch1 = NamedSharding(mesh, P(None, "data"))  # interim [T+1, B, ...]
+        # `repl` as a prefix sharding replicates the whole params tree
+        in_sh = (repl, repl) + (batch0,) * (n_in - 1)
+        out_sh = (batch0, batch0) if num_interim <= 0 else (batch0, batch0, batch1, batch1)
+        jitted = jax.jit(sample_fn, in_shardings=in_sh, out_shardings=out_sh)
+    if key is not None:
+        _SAMPLE_FN_CACHE[key] = jitted
+    return jitted
 
 
 def make_sample_fn(model, params, sampler: NodeAdjEDMSampler,
@@ -53,55 +124,28 @@ def make_sample_fn(model, params, sampler: NodeAdjEDMSampler,
     XLA runs the whole reverse diffusion SPMD — the TPU-native counterpart of
     the reference's DDP eval sharding (sampler_node_adj.py:331-345 +
     DistributedSampler, dataloader.py:26-29).
+
+    The underlying jitted program takes params as an argument and is cached
+    across calls, so evaluating successive checkpoints (fresh EMA weights,
+    same shapes) compiles exactly once per configuration.
     """
     if mesh is not None:
         from ..parallel.mesh import replicate_tree
         params = replicate_tree(params, mesh)
+    jitted = _build_sample_fn(model, sampler, num_node_chan, num_edge_chan,
+                              sanity_check, precond, num_interim, mesh, inpaint)
+    return partial(jitted, params)
 
-    if sanity_check:
-        # GT-as-denoiser fixture (reference: edm.py:375-377)
-        def sample_fn(rng, node_flags, gt_a, gt_x):
-            def gt_denoiser(a, x, sigmas, sc_a, sc_x):
-                return gt_a.astype(jnp.float32), gt_x.astype(jnp.float32)
-            return sampler.sample(gt_denoiser, rng, node_flags,
-                                  num_node_chan, num_edge_chan,
-                                  num_interim=num_interim)
-        n_in = 4
-    elif inpaint:
-        def sample_fn(rng, node_flags, gt_a, gt_x, mask_a, mask_x):
-            def denoiser(a, x, sigmas, sc_a, sc_x):
-                def model_fn(aa, xx, flags, c_noise, s_a, s_x):
-                    return model.apply(params, aa, xx, flags, c_noise, s_a, s_x)
-                return precond_forward(model_fn, precond, a, x, node_flags, sigmas,
-                                       sc_a, sc_x)
-            return sampler.sample(denoiser, rng, node_flags,
-                                  num_node_chan, num_edge_chan,
-                                  num_interim=num_interim,
-                                  inpaint=dict(gt_adjs=gt_a, gt_nodes=gt_x,
-                                               mask_adjs=mask_a, mask_nodes=mask_x))
-        n_in = 6
-    else:
-        def sample_fn(rng, node_flags):
-            def denoiser(a, x, sigmas, sc_a, sc_x):
-                def model_fn(aa, xx, flags, c_noise, s_a, s_x):
-                    return model.apply(params, aa, xx, flags, c_noise, s_a, s_x)
-                return precond_forward(model_fn, precond, a, x, node_flags, sigmas,
-                                       sc_a, sc_x)
-            return sampler.sample(denoiser, rng, node_flags,
-                                  num_node_chan, num_edge_chan,
-                                  num_interim=num_interim)
-        n_in = 2
 
-    if mesh is None:
-        return jax.jit(sample_fn)
-
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    repl = NamedSharding(mesh, P())
-    batch0 = NamedSharding(mesh, P("data"))   # batch-major arrays
-    batch1 = NamedSharding(mesh, P(None, "data"))  # interim [T+1, B, ...]
-    in_sh = (repl,) + (batch0,) * (n_in - 1)
-    out_sh = (batch0, batch0) if num_interim <= 0 else (batch0, batch0, batch1, batch1)
-    return jax.jit(sample_fn, in_shardings=in_sh, out_shardings=out_sh)
+@lru_cache(maxsize=None)
+def _cached_decode_fn(node_encoding, edge_encoding, num_node_type, num_adj_type,
+                      flag_bbox, flag_node_only):
+    """One jitted decode program per static configuration (a fresh
+    ``jax.jit(partial(...))`` each call would re-trace per eval)."""
+    return jax.jit(partial(
+        decode_samples, node_encoding=node_encoding, edge_encoding=edge_encoding,
+        num_node_type=num_node_type, num_adj_type=num_adj_type,
+        flag_bbox=flag_bbox, flag_node_only=flag_node_only))
 
 
 def resample_node_flags(flags: np.ndarray, num_nodes_pool,
@@ -211,11 +255,10 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
                                    num_adj_type, sanity_check,
                                    precond=config.mcmc.get("precond", "edm"),
                                    num_interim=num_interim, mesh=mesh)
-    decode_fn = jax.jit(partial(
-        decode_samples, node_encoding=node_encoding, edge_encoding=edge_encoding,
-        num_node_type=raw_num_node_type,
-        num_adj_type=(raw_num_adj_type if not flag_binary_edge else 2),
-        flag_bbox=flag_bbox, flag_node_only=flag_node_only))
+    decode_fn = _cached_decode_fn(
+        node_encoding, edge_encoding, raw_num_node_type,
+        (raw_num_adj_type if not flag_binary_edge else 2),
+        flag_bbox, flag_node_only)
 
     out = {"q_adj": [], "q_node": [], "bbox": [], "flags": [], "flags_gt": [],
            "q_adj_gt": [], "q_node_gt": [], "bbox_gt": [], "image_ids": [],

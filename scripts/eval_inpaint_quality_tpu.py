@@ -16,8 +16,9 @@ checkpoint restores shape-exactly:
   QUALITY_DIR=/tmp/q_vg64 QUALITY_MAX_NODES=64 python scripts/eval_inpaint_quality_tpu.py
 One TPU process at a time.  Prints one JSON line per row.
 """
-import sys, os, json
+import sys, os, json, logging
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+logging.basicConfig(level=logging.INFO)  # surface per-phase timings
 import jax, jax.numpy as jnp, numpy as np
 try:  # persistent compile cache (same knobs bench.py uses)
     jax.config.update("jax_compilation_cache_dir", os.path.join(

@@ -8,8 +8,9 @@ printing one JSON line per eval so progress is machine-readable.
 
 Run: python scripts/train_quality_tpu.py  (one TPU process at a time).
 """
-import sys, os, time, json
+import sys, os, time, json, logging
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+logging.basicConfig(level=logging.INFO)  # surface per-phase eval timings
 import jax, jax.numpy as jnp, numpy as np
 try:  # persistent compile cache: relaunches/resumes skip the multi-minute
     # remote XLA compiles (same knobs bench.py uses)
