@@ -48,8 +48,22 @@ _steps_per_epoch = max(1, -(-cfg.dataset.subset // cfg.train.batch_size))
 opt = make_optimizer(cfg.train.lr_init * _lr_scale, cfg.train.lr_dacey,
                      _steps_per_epoch)
 state = create_train_state(params, [0.999, 0.9999], opt)
-step = jax.jit(make_train_step(model.apply, opt, train_step_config_from(cfg)),
-               donate_argnums=(0,))
+raw_step = make_train_step(model.apply, opt, train_step_config_from(cfg))
+step = jax.jit(raw_step, donate_argnums=(0,))
+# QUALITY_FUSE_STEPS=K dispatches K steps as ONE lax.scan program: the
+# tunneled backend costs ~40-100 ms of dispatch latency per program (N=16
+# steps measure ~111 ms wall for ~10 ms of compute), so long-horizon runs
+# (e.g. the 100k-step EMA-warmup validation) fuse an epoch per dispatch.
+FUSE = int(os.environ.get("QUALITY_FUSE_STEPS", 1))
+if FUSE > 1:
+    def _multi(state, rng, adjs_k, nodes_k, flags_k):  # [K, B, ...]
+        def body(st, xs):
+            k, a, x, f = xs
+            return raw_step(st, k, a, x, f)
+        return jax.lax.scan(body, state,
+                            (jax.random.split(rng, FUSE), adjs_k, nodes_k,
+                             flags_k))
+    multi_step = jax.jit(_multi, donate_argnums=(0,))
 sampler = get_mc_sampler(cfg)
 
 # metric columns recorded per eval: distribution metrics + the bbox branch
@@ -97,17 +111,41 @@ else:
 batches = Batches(bundle.train, cfg.train.batch_size, shuffle=True, seed=0)
 _steps_per_epoch_int = len(bundle.train) // cfg.train.batch_size or 1
 assert start_done % _steps_per_epoch_int == 0, (start_done, _steps_per_epoch_int)
+if FUSE > 1:
+    # fused chunks must tile the epoch and land exactly on eval points
+    assert _steps_per_epoch_int % FUSE == 0, (_steps_per_epoch_int, FUSE)
+    assert EVAL_EVERY % FUSE == 0 and 2000 % FUSE == 0, (EVAL_EVERY, FUSE)
 rng = jax.random.fold_in(jax.random.PRNGKey(1), start_done)
 t0 = time.time()
 done = start_done
 epoch = start_done // _steps_per_epoch_int
+
+
+def _epoch_steps():
+    """Yield (n_steps, step_args...) per dispatch: single steps, or
+    FUSE-stacked chunks when step fusion is on."""
+    if FUSE == 1:
+        for adjs, nodes, flags, _ in batches:
+            yield 1, jnp.asarray(adjs), jnp.asarray(nodes), jnp.asarray(flags)
+        return
+    buf = []
+    for adjs, nodes, flags, _ in batches:
+        buf.append((adjs, nodes, flags))
+        if len(buf) == FUSE:
+            yield (FUSE, *(jnp.asarray(np.stack([b[i] for b in buf]))
+                           for i in range(3)))
+            buf = []
+
+
 while done < STEPS:
     batches.set_epoch(epoch)
-    for adjs, nodes, flags, _ in batches:
+    for n_fused, adjs, nodes, flags in _epoch_steps():
         rng, sub = jax.random.split(rng)
-        state, m = step(state, sub, jnp.asarray(adjs), jnp.asarray(nodes),
-                        jnp.asarray(flags))
-        done += 1
+        run = step if n_fused == 1 else multi_step
+        state, m = run(state, sub, adjs, nodes, flags)
+        if n_fused > 1:   # metrics stacked [K]; report the last step's
+            m = jax.tree.map(lambda v: v[-1], m)
+        done += n_fused
         if done % 2000 == 0:
             print(f'step {done} loss_adj {float(m["loss_adj"]):.4f} '
                   f'loss_node {float(m["loss_node"]):.4f} '

@@ -234,3 +234,49 @@ def test_per_host_batch_size_reference_ddp_split():
     assert per_host_batch_size(64, 8) == 64
     assert per_host_batch_size(66, 8) == 64
     assert per_host_batch_size(4, 8) == 8  # at least one row per device
+
+
+def test_fused_multi_step_scan_matches_sequential(rng):
+    """K train steps under one lax.scan (scripts/train_quality_tpu.py
+    QUALITY_FUSE_STEPS dispatch fusion) must match K sequential step calls
+    bit-for-bit given the same per-step keys and batches."""
+    from diffusesg_tpu.models import DiffuseSG
+
+    b, n, K = 2, 8, 3
+    model = DiffuseSG(img_size=n, patch_size=1, in_chans=11, embed_dim=48,
+                      depths=(1,), num_heads=(3,), window_size=8,
+                      out_chans_adj=1, out_chans_node=5,
+                      self_condition=False, symmetric_noise=False)
+    rs = np.random.RandomState(1)
+    flags = jnp.asarray(np.ones((b, n), dtype=bool))
+    adjs_k = jnp.asarray(rs.choice([-1, 0, 1], (K, b, n, n)).astype(np.float32))
+    nodes_k = jnp.asarray(rs.uniform(-1, 1, (K, b, n, 5)).astype(np.float32))
+    flags_k = jnp.broadcast_to(flags, (K, b, n))
+
+    params = model.init(jax.random.PRNGKey(0), adjs_k[0], nodes_k[0], flags,
+                        jnp.zeros((b,)), None, None)
+    optimizer = make_optimizer(1e-3, 1.0, steps_per_epoch=1)
+    cfg = TrainStepConfig(self_condition=False, iou_loss_weight=0.0)
+    raw_step = make_train_step(model.apply, optimizer, cfg)
+
+    keys = jax.random.split(jax.random.PRNGKey(5), K)
+    # sequential reference
+    st_seq = create_train_state(params, [0.9], optimizer)
+    for i in range(K):
+        st_seq, m_seq = jax.jit(raw_step)(st_seq, keys[i], adjs_k[i],
+                                          nodes_k[i], flags_k[i])
+
+    def _multi(state, adjs_k, nodes_k, flags_k):
+        def body(st, xs):
+            k, a, x, f = xs
+            return raw_step(st, k, a, x, f)
+        return jax.lax.scan(body, state, (keys, adjs_k, nodes_k, flags_k))
+
+    st_fused, ms = jax.jit(_multi)(create_train_state(params, [0.9], optimizer),
+                                   adjs_k, nodes_k, flags_k)
+    assert int(st_fused.step) == K
+    np.testing.assert_allclose(float(ms["loss_adj"][-1]),
+                               float(m_seq["loss_adj"]), rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(st_seq.params),
+                     jax.tree.leaves(st_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
