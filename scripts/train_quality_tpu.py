@@ -146,6 +146,13 @@ while done < STEPS:
         if n_fused > 1:   # metrics stacked [K]; report the last step's
             m = jax.tree.map(lambda v: v[-1], m)
         done += n_fused
+        if done % 200 == 0:
+            # backpressure: without a periodic host sync the async dispatch
+            # queue through the tunnel retains per-step host buffers
+            # (~4 MB/step) until the process OOMs at ~130 GB RSS (observed
+            # at step ~26k of the first N=64 flagship attempt, kernel
+            # oom-kill).  A scalar fetch bounds the in-flight window.
+            float(np.asarray(m["loss_adj"]))
         if done % 2000 == 0:
             print(f'step {done} loss_adj {float(m["loss_adj"]):.4f} '
                   f'loss_node {float(m["loss_node"]):.4f} '
