@@ -56,6 +56,17 @@ step = jax.jit(raw_step, donate_argnums=(0,))
 # (e.g. the 100k-step EMA-warmup validation) fuse an epoch per dispatch.
 FUSE = int(os.environ.get("QUALITY_FUSE_STEPS", 1))
 if FUSE > 1:
+    # clamp to a divisor of the epoch and of every eval boundary instead of
+    # failing the assertions below (the synthetic train split is 256 graphs
+    # -> 4 steps/epoch at batch 64, so e.g. FUSE=8 cannot tile an epoch)
+    from math import gcd
+    _fuse_ok = gcd(gcd(FUSE, len(bundle.train) // cfg.train.batch_size or 1),
+                   gcd(EVAL_EVERY, 2000))
+    if _fuse_ok != FUSE:
+        print(f"QUALITY_FUSE_STEPS={FUSE} does not tile the epoch/eval grid; "
+              f"clamped to {_fuse_ok}", flush=True)
+        FUSE = _fuse_ok
+if FUSE > 1:
     def _multi(state, rng, adjs_k, nodes_k, flags_k):  # [K, B, ...]
         def body(st, xs):
             k, a, x, f = xs
