@@ -113,9 +113,12 @@ if os.path.isdir(RESUME):
     state = state_from_payload(payload)
     start_done = int(payload["extra"]["done"])
     print(f'resumed from {RESUME} at step {start_done}', flush=True)
-else:
+elif os.environ.get("QUALITY_SKIP_INITIAL_EVALS") != "1":
     # the dataset's own level: GT-as-denoiser sanity sampling (reference
-    # trick, trainer_node_adj.py:279-280) = the floor metrics approach
+    # trick, trainer_node_adj.py:279-280) = the floor metrics approach.
+    # QUALITY_SKIP_INITIAL_EVALS=1 skips both rows for runs whose only
+    # purpose is producing a checkpoint (e.g. the conditional-completion
+    # eval trains its own alpha-correlated model and computes its own floor)
     _eval("sanity_gt", params, 0, sanity=True)
     _eval("untrained", params, 1)
 
