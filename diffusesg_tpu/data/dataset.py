@@ -228,13 +228,39 @@ def load_data(config, eval_mode: bool = False, data_root: str = ".") -> SceneGra
     if use_synthetic:
         from .synthetic import synthetic_bundle_dicts
         logging.info("dataset pickles not found under %s - using synthetic data", data_root)
-        train_data, test_data, train_stats, test_stats, idx_to_word = synthetic_bundle_dicts(
-            name, config.dataset.max_node_num, seed=config.seed,
-            # opt-in within-graph type/size clustering (Dirichlet
-            # concentration; see synthetic.synthetic_scene_graphs) — makes
-            # graph halves mutually informative so conditional completion
-            # is measurably better than unconditional sampling
-            per_graph_alpha=config.dataset.get("synthetic_per_graph_alpha", None))
+        # the generator is deterministic in (name, max_node_num, seed, alpha)
+        # but costs minutes of pure-python pair loops at N=64; an opt-in disk
+        # cache (DSG_SYNTH_CACHE_DIR) makes relaunches/resumes of long TPU
+        # quality runs near-instant
+        _cache_dir = os.environ.get("DSG_SYNTH_CACHE_DIR")
+        _cache_path = None
+        if _cache_dir:
+            _alpha = config.dataset.get("synthetic_per_graph_alpha", None)
+            _key = (f"{name}_n{config.dataset.max_node_num}_s{config.seed}"
+                    f"_a{_alpha}")
+            _cache_path = os.path.join(_cache_dir, f"synth_{_key}.pkl")
+            if os.path.exists(_cache_path):
+                with open(_cache_path, "rb") as fh:
+                    (train_data, test_data, train_stats, test_stats,
+                     idx_to_word) = pickle.load(fh)
+                logging.info("synthetic bundle loaded from cache %s", _cache_path)
+                _cache_path = None  # already materialized; skip the save below
+        if _cache_path is not None or not _cache_dir:
+            train_data, test_data, train_stats, test_stats, idx_to_word = synthetic_bundle_dicts(
+                name, config.dataset.max_node_num, seed=config.seed,
+                # opt-in within-graph type/size clustering (Dirichlet
+                # concentration; see synthetic.synthetic_scene_graphs) — makes
+                # graph halves mutually informative so conditional completion
+                # is measurably better than unconditional sampling
+                per_graph_alpha=config.dataset.get("synthetic_per_graph_alpha", None))
+        if _cache_path is not None:
+            os.makedirs(_cache_dir, exist_ok=True)
+            _tmp = _cache_path + ".tmp"
+            with open(_tmp, "wb") as fh:
+                pickle.dump((train_data, test_data, train_stats, test_stats,
+                             idx_to_word), fh)
+            os.replace(_tmp, _cache_path)
+            logging.info("synthetic bundle cached to %s", _cache_path)
     else:
         train_data = pickle.load(open(paths["train_pkl"], "rb"))
         test_data = pickle.load(open(paths["test_pkl"], "rb"))

@@ -19,7 +19,7 @@ try:  # persistent compile cache: relaunches/resumes skip the multi-minute
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 except Exception:
     pass
-from diffusesg_tpu.data import load_data, Batches
+from diffusesg_tpu.data import load_data
 from diffusesg_tpu.models import build_model
 from diffusesg_tpu.models.factory import init_params
 from diffusesg_tpu.sampling import get_mc_sampler
@@ -49,7 +49,18 @@ opt = make_optimizer(cfg.train.lr_init * _lr_scale, cfg.train.lr_dacey,
                      _steps_per_epoch)
 state = create_train_state(params, [0.999, 0.9999], opt)
 raw_step = make_train_step(model.apply, opt, train_step_config_from(cfg))
-step = jax.jit(raw_step, donate_argnums=(0,))
+# Device-resident dataset + on-device batch gather.  Streaming per-step host
+# batches through the tunneled backend RETAINS each staged host buffer for
+# the life of the process (~6.5 MB/step at N=64 even with a periodic host
+# sync — the first two flagship attempts were oom-killed at ~130 GB RSS,
+# steps ~26k and ~19k).  The whole synthetic train split is ~26 MB, so the
+# TPU-native fix is one up-front transfer; per dispatch only a [K, B] int32
+# index array crosses the host boundary (~1 KB).
+dev_adjs = jnp.asarray(np.asarray(bundle.train.adjs))
+dev_nodes = jnp.asarray(np.asarray(bundle.train.nodes))
+dev_flags = jnp.asarray(np.asarray(bundle.train.node_flags))
+step = jax.jit(lambda st, k, ix, da, dn, df: raw_step(st, k, da[ix], dn[ix], df[ix]),
+               donate_argnums=(0,))
 # QUALITY_FUSE_STEPS=K dispatches K steps as ONE lax.scan program: the
 # tunneled backend costs ~40-100 ms of dispatch latency per program (N=16
 # steps measure ~111 ms wall for ~10 ms of compute), so long-horizon runs
@@ -67,13 +78,12 @@ if FUSE > 1:
               f"clamped to {_fuse_ok}", flush=True)
         FUSE = _fuse_ok
 if FUSE > 1:
-    def _multi(state, rng, adjs_k, nodes_k, flags_k):  # [K, B, ...]
+    def _multi(state, rng, idx_k, da, dn, df):  # idx_k: [K, B] int32
         def body(st, xs):
-            k, a, x, f = xs
-            return raw_step(st, k, a, x, f)
+            k, ix = xs
+            return raw_step(st, k, da[ix], dn[ix], df[ix])
         return jax.lax.scan(body, state,
-                            (jax.random.split(rng, FUSE), adjs_k, nodes_k,
-                             flags_k))
+                            (jax.random.split(rng, FUSE), idx_k))
     multi_step = jax.jit(_multi, donate_argnums=(0,))
 sampler = get_mc_sampler(cfg)
 
@@ -122,7 +132,6 @@ elif os.environ.get("QUALITY_SKIP_INITIAL_EVALS") != "1":
     _eval("sanity_gt", params, 0, sanity=True)
     _eval("untrained", params, 1)
 
-batches = Batches(bundle.train, cfg.train.batch_size, shuffle=True, seed=0)
 _steps_per_epoch_int = len(bundle.train) // cfg.train.batch_size or 1
 assert start_done % _steps_per_epoch_int == 0, (start_done, _steps_per_epoch_int)
 if FUSE > 1:
@@ -135,37 +144,38 @@ done = start_done
 epoch = start_done // _steps_per_epoch_int
 
 
-def _epoch_steps():
-    """Yield (n_steps, step_args...) per dispatch: single steps, or
-    FUSE-stacked chunks when step fusion is on."""
+def _epoch_steps(epoch):
+    """Yield (n_steps, idx) per dispatch: [B] index rows for single steps or
+    [FUSE, B] stacks for fused chunks.  Shuffle matches data.loader.Batches
+    (_host_indices, loader.py:52-57, seed=0) so batch composition is
+    identical to the host-streaming path."""
+    idx = np.arange(len(bundle.train))
+    np.random.RandomState(0 + epoch).shuffle(idx)
+    nb = len(idx) // cfg.train.batch_size
+    idx = idx[: nb * cfg.train.batch_size].reshape(nb, cfg.train.batch_size)
+    idx = idx.astype(np.int32)
     if FUSE == 1:
-        for adjs, nodes, flags, _ in batches:
-            yield 1, jnp.asarray(adjs), jnp.asarray(nodes), jnp.asarray(flags)
-        return
-    buf = []
-    for adjs, nodes, flags, _ in batches:
-        buf.append((adjs, nodes, flags))
-        if len(buf) == FUSE:
-            yield (FUSE, *(jnp.asarray(np.stack([b[i] for b in buf]))
-                           for i in range(3)))
-            buf = []
+        for row in idx:
+            yield 1, jnp.asarray(row)
+    else:
+        for i in range(0, nb - nb % FUSE, FUSE):
+            yield FUSE, jnp.asarray(idx[i:i + FUSE])
 
 
 while done < STEPS:
-    batches.set_epoch(epoch)
-    for n_fused, adjs, nodes, flags in _epoch_steps():
+    for n_fused, ixs in _epoch_steps(epoch):
         rng, sub = jax.random.split(rng)
         run = step if n_fused == 1 else multi_step
-        state, m = run(state, sub, adjs, nodes, flags)
+        state, m = run(state, sub, ixs, dev_adjs, dev_nodes, dev_flags)
         if n_fused > 1:   # metrics stacked [K]; report the last step's
             m = jax.tree.map(lambda v: v[-1], m)
         done += n_fused
         if done % 200 == 0:
-            # backpressure: without a periodic host sync the async dispatch
-            # queue through the tunnel retains per-step host buffers
-            # (~4 MB/step) until the process OOMs at ~130 GB RSS (observed
-            # at step ~26k of the first N=64 flagship attempt, kernel
-            # oom-kill).  A scalar fetch bounds the in-flight window.
+            # backpressure: bound the async dispatch queue through the
+            # tunnel with a periodic scalar fetch.  (The sync alone did NOT
+            # stop host-RSS growth when full batches were streamed per step
+            # — staged transfer buffers outlive the dispatch on this
+            # backend, hence the device-resident dataset above.)
             float(np.asarray(m["loss_adj"]))
         if done % 2000 == 0:
             print(f'step {done} loss_adj {float(m["loss_adj"]):.4f} '
