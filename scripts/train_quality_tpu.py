@@ -44,7 +44,9 @@ params = init_params(model, cfg, jax.random.PRNGKey(0))
 # (reference: learning_utils.py:137-141, config yamls train block).
 # QUALITY_LR_SCALE retains the earlier 2x-no-decay shortcut for comparisons.
 _lr_scale = float(os.environ.get('QUALITY_LR_SCALE', 1.0))
-_steps_per_epoch = max(1, -(-cfg.dataset.subset // cfg.train.batch_size))
+# steps/epoch from the ACTUAL train split (held-out-regime populations are
+# sized by dataset.synthetic_num_train, not subset)
+_steps_per_epoch = max(1, len(bundle.train) // cfg.train.batch_size)
 opt = make_optimizer(cfg.train.lr_init * _lr_scale, cfg.train.lr_dacey,
                      _steps_per_epoch)
 state = create_train_state(params, [0.999, 0.9999], opt)
@@ -71,8 +73,10 @@ if FUSE > 1:
     # failing the assertions below (the synthetic train split is 256 graphs
     # -> 4 steps/epoch at batch 64, so e.g. FUSE=8 cannot tile an epoch)
     from math import gcd
+    # 200 is the backpressure-sync grid below: a FUSE not dividing it would
+    # silently stretch the host-sync period to lcm(FUSE, 200)
     _fuse_ok = gcd(gcd(FUSE, len(bundle.train) // cfg.train.batch_size or 1),
-                   gcd(EVAL_EVERY, 2000))
+                   gcd(gcd(EVAL_EVERY, 2000), 200))
     if _fuse_ok != FUSE:
         print(f"QUALITY_FUSE_STEPS={FUSE} does not tile the epoch/eval grid; "
               f"clamped to {_fuse_ok}", flush=True)
@@ -146,20 +150,15 @@ epoch = start_done // _steps_per_epoch_int
 
 def _epoch_steps(epoch):
     """Yield (n_steps, idx) per dispatch: [B] index rows for single steps or
-    [FUSE, B] stacks for fused chunks.  Shuffle matches data.loader.Batches
-    (_host_indices, loader.py:52-57, seed=0) so batch composition is
-    identical to the host-streaming path."""
-    idx = np.arange(len(bundle.train))
-    np.random.RandomState(0 + epoch).shuffle(idx)
-    nb = len(idx) // cfg.train.batch_size
-    idx = idx[: nb * cfg.train.batch_size].reshape(nb, cfg.train.batch_size)
-    idx = idx.astype(np.int32)
-    if FUSE == 1:
-        for row in idx:
-            yield 1, jnp.asarray(row)
-    else:
-        for i in range(0, nb - nb % FUSE, FUSE):
-            yield FUSE, jnp.asarray(idx[i:i + FUSE])
+    [FUSE, B] stacks for fused chunks.  Index stream is
+    data.loader.epoch_index_batches (seed=0), which matches Batches'
+    shuffle + repeat-to-batch composition exactly (tests/test_data.py
+    parity test), so the device-resident gather sees the same batches the
+    host-streaming path would."""
+    from diffusesg_tpu.data.loader import epoch_index_batches
+    for ix in epoch_index_batches(len(bundle.train), cfg.train.batch_size,
+                                  epoch, seed=0, fuse=FUSE):
+        yield (1 if ix.ndim == 1 else len(ix)), jnp.asarray(ix)
 
 
 while done < STEPS:
