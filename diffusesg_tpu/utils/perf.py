@@ -61,6 +61,30 @@ def estimate_model_flops(config) -> dict:
     return {"total": int(total), "per_stage": [int(s) for s in per_stage]}
 
 
+_PEAK_BF16_TFLOPS = {
+    # per-chip dense bf16 MXU peaks (public TPU spec sheets)
+    "v5 lite": 197.0, "v5e": 197.0,
+    "v6 lite": 918.0, "v6e": 918.0,
+    "v5p": 459.0, "v5": 459.0,
+    "v4": 275.0, "v3": 123.0, "v2": 45.0,
+}
+
+
+def device_peak_tflops(device_kind: str, dtype: str = "bfloat16") -> float | None:
+    """Per-chip peak TFLOP/s for MFU accounting, or None when unknown.
+
+    Only bf16 peaks are tabulated (the headline benches run bf16); other
+    dtypes return None rather than a wrong denominator.
+    """
+    if dtype not in ("bfloat16", "bf16"):
+        return None
+    kind = (device_kind or "").lower()
+    for key, peak in _PEAK_BF16_TFLOPS.items():
+        if key in kind:
+            return peak
+    return None
+
+
 def device_memory_stats() -> dict:
     """Per-device memory usage (the reference's get_gpu_memory_status analogue)."""
     import jax

@@ -164,3 +164,12 @@ def test_sg_statistics_vs_reference_function(tmp_path, caplog):
     gt = summary["gt"]
     assert logged["Node Number Mean"][1] == pytest.approx(gt["avg_nodes"], abs=5.1e-3)
     assert logged["#Unique Triplet"][1] == gt["distinct_triplets"]
+
+
+def test_device_peak_tflops_table():
+    from diffusesg_tpu.utils.perf import device_peak_tflops
+    assert device_peak_tflops("TPU v5 lite") == 197.0
+    assert device_peak_tflops("TPU v5p") == 459.0
+    assert device_peak_tflops("TPU v4") == 275.0
+    assert device_peak_tflops("TPU v5 lite", dtype="float32") is None
+    assert device_peak_tflops("cpu") is None
