@@ -86,6 +86,13 @@ def build_eval_parser() -> argparse.ArgumentParser:
                         "online weights (reference: eval.py:15-40)")
     p.add_argument("--sanity_check", action="store_true")
     p.add_argument("--random_node_num", action="store_true")
+    p.add_argument("--inpaint_frac", type=float, default=None,
+                   help="conditional completion: pin the first "
+                        "ceil(n_valid * FRAC) nodes of every test graph "
+                        "(labels + boxes + edges among them) to ground truth "
+                        "and sample only the remainder (RePaint-style; "
+                        "generalizes the reference init_adjs/init_nodes "
+                        "hooks, mcmc_sampler/edm.py:291-329)")
     p.add_argument("--test_pkl", default=None,
                    help="custom test pickle path (overrides test.test_pkl)")
     p.add_argument("--skip_eval", action="store_true")

@@ -116,7 +116,8 @@ def main(argv=None):
                            eval_mode=True, sanity_check=args.sanity_check,
                            sampling_params=sampling_params, writer=writer,
                            skip_eval=args.skip_eval,
-                           random_node_num=args.random_node_num)
+                           random_node_num=args.random_node_num,
+                           inpaint_frac=args.inpaint_frac)
             sync_hosts("eval_ckpt")
     writer.close()
     logging.info("evaluation complete")

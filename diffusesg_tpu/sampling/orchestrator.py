@@ -166,12 +166,21 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
                    epoch: int = 0, eval_mode: bool = False, sanity_check: bool = False,
                    sampling_params: dict | None = None, writer=None,
                    skip_eval: bool = False, random_node_num: bool = False,
-                   rng: jax.Array | None = None) -> dict:
+                   rng: jax.Array | None = None,
+                   inpaint_frac: float | None = None) -> dict:
     """Sample, decode, evaluate; returns the metric dict (and writes artifacts).
 
     ``bundle`` is the SceneGraphBundle from data.load_data (carrying the test
     split plus triplet/bbox statistics, like the reference's decorated
     test_dl).
+
+    ``inpaint_frac`` turns the pass into CONDITIONAL COMPLETION: for every
+    test graph the first ceil(n_valid * frac) valid nodes — their labels,
+    boxes, and the edges among them — are pinned to ground truth and carried
+    exactly through the reverse diffusion (RePaint-style, the generalization
+    of the reference's init_adjs/init_nodes hooks, reference:
+    DiffuseSG/runner/mcmc_sampler/edm.py:291-329); only the remainder is
+    sampled.  Metrics/artifacts flow as usual over the completed graphs.
     """
     cfg_test = config.test
     flag_bbox = True
@@ -240,9 +249,26 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
     # interim snapshot cap mirrors the reference (sampler_node_adj.py:85-86)
     num_interim = min(int(config.test.get("num_interim", 10)),
                       mc_sampler.num_steps)
+    if inpaint_frac is not None:
+        if not (0.0 < inpaint_frac < 1.0):
+            raise ValueError(f"inpaint_frac must be in (0, 1), got {inpaint_frac}")
+        if flag_node_only:
+            raise NotImplementedError("inpaint_frac with node_only mode")
+        if sanity_check or random_node_num:
+            raise ValueError("inpaint_frac is exclusive with sanity_check / "
+                             "random_node_num (conditioning pins GT values "
+                             "onto the GT node layout)")
     from ..parallel.mesh import resolve_spmd_mode
     spmd_mode = resolve_spmd_mode(config, mesh.size if mesh is not None else 1)
-    if (spmd_mode == "shard_map" and not sanity_check and mesh is not None
+    if inpaint_frac is not None:
+        # conditional completion runs through the gspmd sample fn (the
+        # shard_map DP variant has no inpaint signature; single-chip and
+        # NamedSharding multi-chip both work)
+        sample_fn = make_sample_fn(model, params, mc_sampler, num_node_type,
+                                   num_adj_type, precond=config.mcmc.get("precond", "edm"),
+                                   num_interim=num_interim, mesh=mesh,
+                                   inpaint=True)
+    elif (spmd_mode == "shard_map" and not sanity_check and mesh is not None
             and mesh.size > 1):
         # explicit per-shard execution: carries the Pallas kernels to
         # multi-chip (GSPMD all-gathers around opaque tpu_custom_calls)
@@ -303,6 +329,15 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
         rng, sub = jax.random.split(rng)
         if sanity_check:
             res_t = sample_fn(sub, sample_flags_j, adjs_gt, nodes_gt)
+        elif inpaint_frac is not None:
+            # the first ceil(n_valid * frac) valid nodes are known (data is
+            # front-packed); edges among known nodes are known too
+            known = (np.arange(flags.shape[1])[None, :]
+                     < np.ceil(flags.sum(1) * inpaint_frac)[:, None])
+            known &= flags.astype(bool)
+            mask_a = known[:, :, None] & known[:, None, :]
+            res_t = sample_fn(sub, sample_flags_j, adjs_gt, nodes_gt,
+                              _put(mask_a), _put(known))
         else:
             res_t = sample_fn(sub, sample_flags_j)
         if num_interim > 0:

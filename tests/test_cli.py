@@ -67,6 +67,23 @@ def test_train_then_eval_cli(tiny_cfg_file, tmp_path):
     df2 = pd.read_csv(newest)
     assert str(df2["weight_kw"].iloc[-1]).startswith("0.9")
 
+    # conditional completion through the product CLI (--inpaint_frac):
+    # carried halves must survive the reverse diffusion bit-exactly
+    eval_cli.main(["-p", run_dir, "--eval_size", "8", "--num_steps", "4",
+                   "--data_root", "/nonexistent", "--ema_weights", "0.9",
+                   "--inpaint_frac", "0.5"])
+    npzs = glob.glob(os.path.join(os.path.dirname(tiny_cfg_file), "exp",
+                                  "*", "*", "sampling_during_evaluation", "*",
+                                  "final_samples_array_before_eval.npz"))
+    assert npzs, "inpaint eval CLI wrote no npz"
+    data = np.load(max(npzs, key=os.path.getmtime), allow_pickle=True)
+    flags = data["gt_node_flags"].astype(bool)
+    known = (np.arange(flags.shape[1])[None, :]
+             < np.ceil(flags.sum(1) * 0.5)[:, None]) & flags
+    np.testing.assert_array_equal(data["samples_x"][known], data["gt_x"][known])
+    pair = known[:, :, None] & known[:, None, :]
+    np.testing.assert_array_equal(data["samples_a"][pair], data["gt_a"][pair])
+
 
 def test_train_resume_cli(tiny_cfg_file, tmp_path):
     """--resume restores the FULL state (params + optimizer + EMAs + step)

@@ -176,3 +176,44 @@ def test_eval_samples_cli(trained, tmp_path):
     assert "eval_metrics.txt" in files
     for name in ["vanilla", "area", "freq", "no_node_type"]:
         assert any(f.startswith(f"bbox_{name}_") for f in files), (name, files)
+
+
+def test_inpaint_frac_conditional_completion(trained):
+    """Product-surface conditional completion (round-4 VERDICT item 6):
+    sg_go_sampling(inpaint_frac=0.5) pins the first ceil(n/2) valid nodes
+    (labels + boxes + edges among them) to GT; the carried parts must
+    survive the full reverse diffusion + decode bit-exactly, and the usual
+    metric/artifact surface must flow."""
+    from diffusesg_tpu.sampling import get_mc_sampler
+    from diffusesg_tpu.sampling.orchestrator import sg_go_sampling
+    cfg, bundle, model, state = trained
+    sampler = get_mc_sampler(cfg)
+    metrics = sg_go_sampling(model, state.params, sampler, cfg, bundle,
+                             epoch=7, inpaint_frac=0.5,
+                             sampling_params={"model_nm": "inpaint",
+                                              "weight_kw": "1",
+                                              "model_path": "none"})
+    assert np.isfinite(metrics["node_type_mmd_gaussian"])
+    npzs = glob.glob(os.path.join(cfg.logdir, "sampling_during_training",
+                                  "eval_epoch_00007_model_inference",
+                                  "final_samples_array_before_eval.npz"))
+    assert npzs, "inpaint eval wrote no npz"
+    data = np.load(npzs[0], allow_pickle=True)
+    flags = data["gt_node_flags"].astype(bool)
+    known = (np.arange(flags.shape[1])[None, :]
+             < np.ceil(flags.sum(1) * 0.5)[:, None]) & flags
+    pair = known[:, :, None] & known[:, None, :]
+    assert known.any() and (~known & flags).any()
+    # exact carry: decoded labels / predicates / boxes equal GT on the
+    # known entries, and at least something was actually sampled
+    np.testing.assert_array_equal(data["samples_x"][known], data["gt_x"][known])
+    np.testing.assert_array_equal(data["samples_a"][pair], data["gt_a"][pair])
+    assert np.abs(data["samples_x_bbox"][known]
+                  - data["gt_x_bbox"][known]).max() < 1e-5
+    # invalid combinations are rejected loudly
+    with pytest.raises(ValueError):
+        sg_go_sampling(model, state.params, sampler, cfg, bundle,
+                       inpaint_frac=0.5, sanity_check=True)
+    with pytest.raises(ValueError):
+        sg_go_sampling(model, state.params, sampler, cfg, bundle,
+                       inpaint_frac=1.5)
