@@ -108,7 +108,12 @@ def main(argv=None):
             else:
                 params = ema_slice(payload["ema_params"], idx)
                 kw = f"{float(betas[idx]):.4f}"
-            sampling_params = {"model_nm": os.path.basename(ckpt_path.rstrip("/")),
+            model_nm = os.path.basename(ckpt_path.rstrip("/"))
+            if args.inpaint_frac is not None:
+                # mark conditional-completion rows in the csv without
+                # changing the (append-only) column schema
+                model_nm += f"_inpaint{args.inpaint_frac:g}"
+            sampling_params = {"model_nm": model_nm,
                                "weight_kw": kw, "model_path": ckpt_path}
             logging.info("eval ckpt=%s ema=%s", ckpt_path, kw)
             sg_go_sampling(model, params, mc_sampler, config, bundle,
