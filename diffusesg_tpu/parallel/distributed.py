@@ -137,3 +137,46 @@ def maybe_initialize_distributed(force: bool = False) -> bool:
         logging.warning("jax.distributed auto-detection failed (%s); "
                         "continuing single-process", e)
     return jax.process_count() > 1
+
+
+class FencedJit:
+    """Dispatch fence for a jitted program with cross-process collectives.
+
+    XLA:CPU's Gloo backend builds one communicator clique per compiled
+    program, and the clique's context init waits on the coordination KV
+    store with a FIXED ~30 s deadline (observed:
+    "Gloo context initialization failed: DEADLINE_EXCEEDED: GetKeyValue()
+    timed out ... duration: 29.99s" — NOT governed by
+    --xla_cpu_collective_timeout_seconds, which only covers collective
+    execution).  If peer processes reach a new program's first dispatch more
+    than ~30 s apart — exactly what happens when one host compiles a heavy
+    program from a warm persistent cache and another from scratch, or when a
+    loaded 1-core box timeshares two compiling children unfairly — the early
+    process times out and the job dies.
+
+    The fence removes the skew instead of fighting the deadline: on the
+    first call it AOT-compiles the program (compilation is process-local, no
+    communication), then joins a coordination-service barrier (minutes-long
+    timeout, no Gloo), and only then dispatches — so every process's first
+    execution of the program starts within barrier-exit jitter
+    (milliseconds).  Subsequent calls reuse the AOT executable directly.
+    Single-process: zero-overhead passthrough.  The reference has no
+    counterpart because NCCL communicators are built once up front
+    (dist_training.py:100-126); XLA builds them lazily per program.
+    """
+
+    def __init__(self, jitted, tag: str):
+        self._jitted = jitted
+        self._tag = tag
+        self._compiled = None
+        self._fenced = False
+
+    def __call__(self, *args):
+        if not self._fenced:
+            self._fenced = True
+            if jax.process_count() > 1:
+                self._compiled = self._jitted.lower(*args).compile()
+                from .mesh import sync_hosts
+                sync_hosts(self._tag)
+        fn = self._compiled if self._compiled is not None else self._jitted
+        return fn(*args)

@@ -393,6 +393,13 @@ def sg_go_sampling(model, params, mc_sampler: NodeAdjEDMSampler, config, bundle,
     res = {k: np.concatenate(v, 0) for k, v in out.items() if v}
     # multi-host: gather every result tensor (reference: sampler_node_adj.py:331-345)
     if jax.process_count() > 1:
+        # barrier BEFORE the first gather dispatch: each host just compiled
+        # and ran its local sampling programs with arbitrary relative skew;
+        # the gather is a NEW Gloo clique whose context init would time out
+        # (~30 s KV deadline) if a peer is still sampling.  The coordination-
+        # service barrier (long timeout, no Gloo) absorbs the skew first.
+        from ..parallel.mesh import sync_hosts
+        sync_hosts("pre_gather")
         res = {k: gather_to_host(v) for k, v in res.items()}
         # drop shard_for_process's wrap-padding: each host contributed
         # k = ceil(T/P) rows, of which the first r_p are real

@@ -87,6 +87,15 @@ def go_training(model, state: TrainState, train_step, eval_step, config, bundle,
             adj_ndim=bundle.train.adjs.ndim, node_ndim=bundle.train.nodes.ndim,
             flags_ndim=bundle.train.node_flags.ndim)
 
+    # multi-process: align every process's FIRST dispatch of the two heavy
+    # programs (AOT compile, coordination barrier, then execute) — a new
+    # program's Gloo clique init has a fixed ~30 s KV deadline that peer
+    # compile skew otherwise blows (parallel/distributed.FencedJit)
+    if jax.process_count() > 1:
+        from ..parallel.distributed import FencedJit
+        sharded_step = FencedJit(sharded_step, "fence_train_step")
+        jit_eval = FencedJit(jit_eval, "fence_eval_step")
+
     loss_txt = LossTxtLogger(config.logdir, enabled=is_main_process())
     lowest = {"epoch": -1, "loss": float("inf")}
     save_interval = config.train.save_interval

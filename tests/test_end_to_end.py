@@ -126,9 +126,10 @@ def test_sanity_check_sampling_reproduces_gt(trained):
     for d in outdirs:
         found += os.listdir(d)
     assert any(f.startswith("interim_") for f in found), found
-    # retrieval panels, one per F1 weighting (sampler_node_adj.py:554-573)
+    # retrieval panels, one per F1 weighting (sampler_node_adj.py:554-573);
+    # files carry the reference's "{i:02d}_" prefix (visual_utils.py naming)
     for name in ["vanilla", "area", "freq", "no_node_type"]:
-        assert any(f.startswith(f"bbox_{name}_f1_") for f in found), (name, found)
+        assert any(f"bbox_{name}_f1_" in f for f in found), (name, found)
     # full stats report emitted (sg_utils.py:9-345 counterpart)
     assert "sg_statistics.txt" in found and "node_freq.png" in found
 
@@ -175,7 +176,9 @@ def test_eval_samples_cli(trained, tmp_path):
     assert "blt_perceptual_iou_hist.png" in files
     assert "eval_metrics.txt" in files
     for name in ["vanilla", "area", "freq", "no_node_type"]:
-        assert any(f.startswith(f"bbox_{name}_") for f in files), (name, files)
+        # panels carry the reference's "{i:02d}_" prefix (visual_utils.py
+        # naming, reproduced in utils/visual.plot_scene_graph_bbox)
+        assert any(f"bbox_{name}_" in f for f in files), (name, files)
 
 
 def test_inpaint_frac_conditional_completion(trained):
