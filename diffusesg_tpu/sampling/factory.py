@@ -21,4 +21,14 @@ def get_mc_sampler(config) -> NodeAdjEDMSampler:
         # sampling deterministic and ~1.5x cheaper
         precond_self_cond_refresh_p=float(
             config.mcmc.get("precond_self_cond_refresh_p", 0.0)),
+        # stochasticity knobs: defaults are the reference's EDM-ImageNet
+        # values (S_churn=40/S_min=0.05/S_max=50/S_noise=1.003,
+        # mcmc_sampler/edm.py:25).  `mcmc.s_churn: 0` is the measured lever
+        # for topology metrics — churn systematically prunes edges near the
+        # bits decision boundary (degree MMD 0.079 -> 0.008 on the round-5
+        # held-out checkpoint, BASELINE.md degree-MMD diagnostics)
+        S_churn=float(config.mcmc.get("s_churn", 40.0)),
+        S_min=float(config.mcmc.get("s_min", 0.05)),
+        S_max=float(config.mcmc.get("s_max", 50.0)),
+        S_noise=float(config.mcmc.get("s_noise", 1.003)),
     )

@@ -277,3 +277,20 @@ def test_make_sample_fn_reuses_compiled_program_across_params(rng):
     assert traces["n"] == n_after_first, "second params value retraced"
     # and the params value genuinely flows through (not baked in)
     assert not np.allclose(np.asarray(a1), np.asarray(a2))
+
+
+def test_mc_sampler_stochasticity_knobs():
+    """mcmc.s_churn/s_min/s_max/s_noise config keys reach the sampler;
+    defaults are the reference's EDM-ImageNet values (edm.py:25).  s_churn=0
+    is the measured topology lever (BASELINE.md round-5 diagnostics)."""
+    from diffusesg_tpu.config import load_config
+    from diffusesg_tpu.sampling import get_mc_sampler
+
+    cfg = load_config("configs/vg_small_test.yaml")
+    s = get_mc_sampler(cfg)
+    assert (s.S_churn, s.S_min, s.S_max, s.S_noise) == (40.0, 0.05, 50.0, 1.003)
+    with cfg.unlocked():
+        cfg.mcmc.s_churn = 0.0
+        cfg.mcmc.s_noise = 1.0
+    s2 = get_mc_sampler(cfg)
+    assert s2.S_churn == 0.0 and s2.S_noise == 1.0
