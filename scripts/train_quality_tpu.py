@@ -137,11 +137,17 @@ elif os.environ.get("QUALITY_SKIP_INITIAL_EVALS") != "1":
     _eval("untrained", params, 1)
 
 _steps_per_epoch_int = len(bundle.train) // cfg.train.batch_size or 1
-assert start_done % _steps_per_epoch_int == 0, (start_done, _steps_per_epoch_int)
+# resume may land mid-epoch (eval/ckpt points follow EVAL_EVERY, which need
+# not divide steps/epoch for large populations — e.g. 8192 graphs -> 128
+# steps/epoch vs EVAL_EVERY=8000): fast-forward the resumed epoch's index
+# stream by the already-consumed dispatches (deterministic: the stream is
+# seeded by epoch alone)
+_skip_steps = start_done % _steps_per_epoch_int
 if FUSE > 1:
     # fused chunks must tile the epoch and land exactly on eval points
     assert _steps_per_epoch_int % FUSE == 0, (_steps_per_epoch_int, FUSE)
     assert EVAL_EVERY % FUSE == 0 and 2000 % FUSE == 0, (EVAL_EVERY, FUSE)
+    assert _skip_steps % FUSE == 0, (_skip_steps, FUSE)
 rng = jax.random.fold_in(jax.random.PRNGKey(1), start_done)
 t0 = time.time()
 done = start_done
@@ -163,6 +169,9 @@ def _epoch_steps(epoch):
 
 while done < STEPS:
     for n_fused, ixs in _epoch_steps(epoch):
+        if _skip_steps:
+            _skip_steps -= n_fused  # fast-forward a mid-epoch resume point
+            continue
         rng, sub = jax.random.split(rng)
         run = step if n_fused == 1 else multi_step
         state, m = run(state, sub, ixs, dev_adjs, dev_nodes, dev_flags)
