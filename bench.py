@@ -182,12 +182,6 @@ def main():
             compiled = _build()
         else:
             extras["artifact_load_s"] = round(time.time() - t0, 2)
-        try:  # artifact size on disk, to contextualize artifact_load_s
-            extras["artifact_mb"] = round(sum(
-                os.path.getsize(os.path.join(artifact_dir, f))
-                for f in os.listdir(artifact_dir)) / 2**20, 1)
-        except OSError:
-            pass
         fn = lambda seed: compiled(np.int32(seed), flags_np)
         extras["artifact"] = True
         # the serving program fuses integer decode after the sampler; run_s
@@ -211,6 +205,15 @@ def main():
         # the device warmup of a full steps-long program
         extras["warmup_s"] = round(time.time() - t0, 1)
         compile_s = None
+        try:  # artifact size on disk, to contextualize artifact_load_s —
+            # measured AFTER the execution-retry above so a rebuilt artifact
+            # reports its own size, not the stale one's
+            extras["artifact_mb"] = round(sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(artifact_dir)
+                for f in files) / 2**20, 1)
+        except OSError:
+            pass
 
         t0 = time.time()
         _force(fn(2))

@@ -173,10 +173,13 @@ class FencedJit:
 
     def __call__(self, *args):
         if not self._fenced:
-            self._fenced = True
             if jax.process_count() > 1:
+                # mark fenced only AFTER a successful compile+barrier: a
+                # transient failure here must leave the fence armed for the
+                # caller's retry, not fall through to an un-fenced dispatch
                 self._compiled = self._jitted.lower(*args).compile()
                 from .mesh import sync_hosts
                 sync_hosts(self._tag)
+            self._fenced = True
         fn = self._compiled if self._compiled is not None else self._jitted
         return fn(*args)

@@ -21,13 +21,8 @@ import sys, os, json, logging, dataclasses
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 logging.basicConfig(level=logging.WARNING)
 import jax, jax.numpy as jnp, numpy as np
-try:
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-except Exception:
-    pass
-from quality_common import quality_config
+from quality_common import enable_compile_cache, load_quality_ckpt, quality_config
+enable_compile_cache()
 from diffusesg_tpu.data import load_data
 from diffusesg_tpu.data.loader import split_eval_set
 from diffusesg_tpu.models import build_model
@@ -36,8 +31,6 @@ from diffusesg_tpu.sampling import get_mc_sampler
 from diffusesg_tpu.sampling.orchestrator import make_sample_fn
 from diffusesg_tpu.sampling.decode import decode_samples
 from diffusesg_tpu.eval import SceneGraphEvaluator
-from diffusesg_tpu.utils.checkpoint import restore_checkpoint
-from diffusesg_tpu.train.train_state import ema_slice
 
 OUT = os.environ.get("QUALITY_DIR", "/tmp/quality")
 EVAL_N = int(os.environ.get("DIAG_EVAL_N", 256))
@@ -49,14 +42,9 @@ with cfg.unlocked():
     cfg.mcmc.num_steps = int(os.environ.get("DIAG_STEPS", 100))
 bundle = load_data(cfg, data_root="/nonexistent")
 model = build_model(cfg)
-ckpt = os.path.join(OUT, "ckpt_final")
-if not os.path.isdir(ckpt):
-    ckpt = os.path.join(OUT, "ckpt_resume")
-payload = restore_checkpoint(ckpt)
-params = ema_slice(payload["ema_params"], EMA_IDX)
-print(json.dumps({"tag": "setup", "ckpt": ckpt,
-                  "ckpt_step": int(np.asarray(payload["step"])),
-                  "ema_beta": float(np.asarray(payload["ema_betas"])[EMA_IDX]),
+params, ckpt_step, ema_beta, ckpt = load_quality_ckpt(OUT, EMA_IDX)
+print(json.dumps({"tag": "setup", "ckpt": ckpt, "ckpt_step": ckpt_step,
+                  "ema_beta": ema_beta,
                   "num_steps": cfg.mcmc.num_steps, "eval_n": EVAL_N}), flush=True)
 
 info = resolve_sampling_channels(cfg)
@@ -73,6 +61,9 @@ decode = jax.jit(lambda a, x, f: decode_samples(
     info["raw_num_node_type"], info["raw_num_adj_type"], flag_bbox=True))
 
 gt_edges_per_graph = float((gt_adj_types > 0).sum() / len(gt_adj_types))
+# clamp so DIAG_EVAL_N smaller than the config's test batch still runs one
+# full batch instead of breaking out before anything is sampled
+batch = min(batch, EVAL_N, len(flags_all))
 
 for s_churn in (40.0, 10.0, 0.0):
     sampler = dataclasses.replace(get_mc_sampler(cfg), S_churn=s_churn)

@@ -14,19 +14,12 @@ import sys, os, json, logging
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 logging.basicConfig(level=logging.WARNING)
 import jax, numpy as np
-try:
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-except Exception:
-    pass
-from quality_common import quality_config
+from quality_common import enable_compile_cache, load_quality_ckpt, quality_config
+enable_compile_cache()
 from diffusesg_tpu.data import load_data
 from diffusesg_tpu.models import build_model
 from diffusesg_tpu.sampling import get_mc_sampler
 from diffusesg_tpu.sampling.orchestrator import sg_go_sampling
-from diffusesg_tpu.utils.checkpoint import restore_checkpoint
-from diffusesg_tpu.train.train_state import ema_slice
 
 OUT = os.environ.get("QUALITY_DIR", "/tmp/quality")
 EMA_IDX = int(os.environ.get("EVAL_EMA_IDX", 0))
@@ -38,17 +31,11 @@ with cfg.unlocked():
         cfg.mcmc.s_churn = float(os.environ["EVAL_S_CHURN"])
 bundle = load_data(cfg, data_root="/nonexistent")
 model = build_model(cfg)
-ckpt = os.path.join(OUT, "ckpt_final")
-if not os.path.isdir(ckpt):
-    ckpt = os.path.join(OUT, "ckpt_resume")
-payload = restore_checkpoint(ckpt)
-params = ema_slice(payload["ema_params"], EMA_IDX)
+params, step, beta, ckpt = load_quality_ckpt(OUT, EMA_IDX)
 sampler = get_mc_sampler(cfg)
-m = sg_go_sampling(model, params, sampler, cfg, bundle,
-                   epoch=int(np.asarray(payload["step"])) // 1000)
+m = sg_go_sampling(model, params, sampler, cfg, bundle, epoch=step // 1000)
 row = {k: round(float(v), 4) for k, v in m.items()
        if not k.startswith("_") and isinstance(v, (int, float, np.floating))}
-print(json.dumps({"tag": "ckpt_eval", "ckpt": ckpt,
-                  "ckpt_step": int(np.asarray(payload["step"])),
-                  "ema_beta": float(np.asarray(payload["ema_betas"])[EMA_IDX]),
-                  "s_churn": sampler.S_churn, **row}), flush=True)
+print(json.dumps({"tag": "ckpt_eval", "ckpt": ckpt, "ckpt_step": step,
+                  "ema_beta": beta, "s_churn": sampler.S_churn, **row}),
+      flush=True)

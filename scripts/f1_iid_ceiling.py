@@ -28,9 +28,11 @@ from diffusesg_tpu.ops.box_ops import box_cxcywh_to_xyxy
 cfg = quality_config("/tmp/qcfg_ceiling")
 bundle = load_data(cfg, data_root="/nonexistent")
 pkl = bundle.test.pkl_data
-K_n, K_e, _ = dataset_constants(cfg.dataset.name)
+K_n, K_e, _num_allowed = dataset_constants(cfg.dataset.name)
 fresh = synthetic_scene_graphs(
-    len(pkl), cfg.dataset.max_node_num, K_n, K_e,
+    # node counts clamped like synthetic_bundle_dicts (min with num_allowed,
+    # 62 for VG at N=64) so the draw really is the bundle's population
+    len(pkl), min(cfg.dataset.max_node_num, _num_allowed), K_n, K_e,
     seed=cfg.seed + 2, pop_seed=cfg.seed,
     # the fresh draw must come from the SAME population: forward the
     # clustering/concentration knobs the bundle was built with

@@ -65,3 +65,37 @@ def quality_config(out_dir: str):
         if _alpha:
             cfg.dataset.synthetic_per_graph_alpha = float(_alpha)
     return cfg
+
+
+def enable_compile_cache():
+    """Persistent XLA compile cache (same knobs bench.py uses): relaunches
+    and follow-up evals skip the multi-minute remote compiles."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+
+def load_quality_ckpt(out_dir: str, ema_idx: int = 0):
+    """Restore a quality run's checkpoint and slice one EMA track.
+
+    Prefers ``ckpt_final`` (written at run completion), falling back to
+    ``ckpt_resume`` (written at every eval point).  Returns
+    (params, step, ema_beta, ckpt_path) — the shared contract of the
+    post-hoc eval/diagnostic scripts, kept here so a checkpoint-layout
+    change lands in exactly one place.
+    """
+    import numpy as np
+    from diffusesg_tpu.train.train_state import ema_slice
+    from diffusesg_tpu.utils.checkpoint import restore_checkpoint
+    ckpt = os.path.join(out_dir, "ckpt_final")
+    if not os.path.isdir(ckpt):
+        ckpt = os.path.join(out_dir, "ckpt_resume")
+    payload = restore_checkpoint(ckpt)
+    return (ema_slice(payload["ema_params"], ema_idx),
+            int(np.asarray(payload["step"])),
+            float(np.asarray(payload["ema_betas"])[ema_idx]), ckpt)

@@ -30,13 +30,17 @@ from diffusesg_tpu.sampling.orchestrator import evaluate_samples
 
 cfg = quality_config(os.environ.get("QUALITY_DIR", "/tmp/qceil"))
 bundle = load_data(cfg, data_root="/nonexistent")
-K_n, K_e, _ = dataset_constants(cfg.dataset.name)
+K_n, K_e, num_allowed = dataset_constants(cfg.dataset.name)
 n_pad = cfg.dataset.max_node_num
 eval_size = min(cfg.test.eval_size or len(bundle.test), len(bundle.test))
 eval_set = split_eval_set(bundle.test, eval_size, seed=cfg.seed)
 
 fresh = synthetic_scene_graphs(
-    eval_size, n_pad, K_n, K_e,
+    # SAME population as the bundle: synthetic_bundle_dicts clamps node
+    # counts to min(max_node_num, num_allowed) (62 for VG at N=64) — the
+    # fresh draw must too, or ~3% of ceiling graphs carry node counts the
+    # test split can never contain
+    eval_size, min(n_pad, num_allowed), K_n, K_e,
     seed=cfg.seed + 2, pop_seed=cfg.seed,
     per_graph_alpha=cfg.dataset.get("synthetic_per_graph_alpha", None),
     node_alpha=float(cfg.dataset.get("synthetic_node_alpha", 0.3)),

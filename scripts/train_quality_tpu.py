@@ -157,10 +157,11 @@ epoch = start_done // _steps_per_epoch_int
 def _epoch_steps(epoch):
     """Yield (n_steps, idx) per dispatch: [B] index rows for single steps or
     [FUSE, B] stacks for fused chunks.  Index stream is
-    data.loader.epoch_index_batches (seed=0), which matches Batches'
-    shuffle + repeat-to-batch composition exactly (tests/test_data.py
-    parity test), so the device-resident gather sees the same batches the
-    host-streaming path would."""
+    data.loader.epoch_index_batches (seed=0): identical to Batches'
+    shuffle + repeat-to-batch composition for the shipped geometries
+    (tests/test_data.py parity test); the documented deviations — trailing
+    partial batches dropped, tiny non-divisor datasets tiled to one full
+    batch — only arise when len(train) % batch != 0."""
     from diffusesg_tpu.data.loader import epoch_index_batches
     for ix in epoch_index_batches(len(bundle.train), cfg.train.batch_size,
                                   epoch, seed=0, fuse=FUSE):
