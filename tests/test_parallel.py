@@ -124,3 +124,18 @@ def test_graft_entry_dryrun(devices):
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out[0].shape[0] == 4
+
+
+def test_fenced_jit_single_process_passthrough():
+    """FencedJit is a zero-overhead passthrough when not multi-process: no
+    AOT compile, no barrier, results identical (the fenced path itself is
+    covered by the two-process training e2es in test_distributed.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusesg_tpu.parallel.distributed import FencedJit
+
+    fj = FencedJit(jax.jit(lambda x: x * 2 + 1), "test_fence")
+    assert float(fj(jnp.float32(3))) == 7.0
+    assert fj._compiled is None and fj._fenced
+    assert float(fj(jnp.float32(4))) == 9.0
